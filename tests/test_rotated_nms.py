@@ -1,0 +1,108 @@
+"""Rotated NMS vs the greedy NumPy oracle, and the batched decode+NMS path."""
+
+import numpy as np
+
+from yolov5_obb_tpu.devkit.poly_iou import poly_iou
+from yolov5_obb_tpu.ops import geometry as G
+from yolov5_obb_tpu.ops.rotated_nms import (
+    nms_rotated,
+    nms_rotated_np,
+    non_max_suppression_obb,
+)
+
+
+def _clustered_rboxes(rng, n, n_clusters=8, spread=400.0):
+    """Random boxes clustered so plenty of pairs overlap."""
+    centers = rng.uniform(100, spread, (n_clusters, 2))
+    which = rng.integers(0, n_clusters, n)
+    cx = centers[which, 0] + rng.normal(0, 12, n)
+    cy = centers[which, 1] + rng.normal(0, 12, n)
+    l = rng.uniform(20, 60, n)
+    s = l * rng.uniform(0.3, 1.0, n)
+    t = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    return np.stack([cx, cy, l, s, t], -1).astype(np.float32)
+
+
+def _oracle_iou(a, b):
+    return poly_iou(G.rbox2poly(a[None])[0], G.rbox2poly(b[None])[0])
+
+
+def test_nms_matches_greedy_oracle():
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = 64
+        boxes = _clustered_rboxes(rng, n)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        keep = np.asarray(nms_rotated(boxes, scores, 0.4))
+        want = nms_rotated_np(boxes, scores, 0.4, _oracle_iou)
+        assert (keep == want).all(), (seed, np.nonzero(keep != want))
+
+
+def test_nms_respects_padding():
+    rng = np.random.default_rng(1)
+    boxes = _clustered_rboxes(rng, 32)
+    scores = rng.uniform(0.1, 1.0, 32).astype(np.float32)
+    scores[20:] = 0.0  # padding
+    keep = np.asarray(nms_rotated(boxes, scores, 0.4))
+    assert not keep[20:].any()
+
+
+def test_nms_classwise():
+    # identical overlapping boxes, different classes: both survive class-aware NMS
+    boxes = np.array([[50, 50, 30, 20, 0.1], [50, 50, 30, 20, 0.1]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    cls = np.array([0, 1], np.int32)
+    keep = np.asarray(nms_rotated(boxes, scores, 0.3, class_ids=cls))
+    assert keep.all()
+    keep_agn = np.asarray(nms_rotated(boxes, scores, 0.3))
+    assert keep_agn.tolist() == [True, False]
+
+
+def test_batched_decode_nms():
+    rng = np.random.default_rng(0)
+    nc = 3
+    N = 256
+    B = 2
+    pred = np.zeros((B, N, 5 + nc + 180), np.float32)
+    pred[..., 4] = rng.uniform(0, 0.2, (B, N))  # low obj everywhere
+    # plant two strong detections in image 0: same spot/class (one must die)
+    for j, (score, theta_bin) in enumerate([(0.95, 120), (0.9, 121)]):
+        pred[0, j, :4] = [100 + j, 100, 40, 20]
+        pred[0, j, 4] = score
+        pred[0, j, 5 + 1] = 0.99  # class 1
+        pred[0, j, 5 + nc + theta_bin] = 1.0
+    # and one far away, class 0
+    pred[0, 7, :4] = [400, 400, 50, 25]
+    pred[0, 7, 4] = 0.8
+    pred[0, 7, 5 + 0] = 0.9
+    pred[0, 7, 5 + nc + 90] = 1.0
+
+    dets, num = non_max_suppression_obb(
+        pred, num_classes=nc, conf_thres=0.25, iou_thres=0.45, max_candidates=64, max_det=16
+    )
+    dets, num = np.asarray(dets), np.asarray(num)
+    assert num[0] == 2 and num[1] == 0
+    got = dets[0, :2]
+    # highest score first
+    assert got[0, 5] > got[1, 5]
+    assert got[0, 6] == 1.0 and got[1, 6] == 0.0
+    # theta of the kept strong det: bin 120 → (120-90)/180*pi
+    np.testing.assert_allclose(got[0, 4], (120 - 90) / 180 * np.pi, atol=1e-6)
+    np.testing.assert_allclose(got[0, :4], [100, 100, 40, 20], atol=1e-4)
+    # conf = obj * cls
+    np.testing.assert_allclose(got[0, 5], 0.95 * 0.99, atol=1e-5)
+
+
+def test_batched_decode_multilabel():
+    nc = 2
+    pred = np.zeros((1, 32, 5 + nc + 180), np.float32)
+    pred[0, 0, :4] = [50, 50, 30, 20]
+    pred[0, 0, 4] = 0.9
+    pred[0, 0, 5 + 0] = 0.8
+    pred[0, 0, 5 + 1] = 0.7  # same box confident in both classes
+    pred[0, 0, 5 + nc + 45] = 1.0
+    dets, num = non_max_suppression_obb(
+        pred, num_classes=nc, conf_thres=0.25, iou_thres=0.45,
+        max_candidates=16, max_det=8, multi_label=True,
+    )
+    assert int(num[0]) == 2  # one detection per class survives class-aware NMS

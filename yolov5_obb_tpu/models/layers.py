@@ -1,0 +1,450 @@
+"""Flax module zoo for the YOLOv5-OBB graph builder.
+
+TPU-first re-design of the reference's torch module zoo
+(models/common.py:37-274): NHWC layout (XLA's native conv layout on TPU),
+bf16 compute with fp32 params/BN statistics, SiLU+BN convs fused by XLA.
+
+Every module takes ``(x, train)`` where ``train`` toggles BatchNorm batch
+statistics.  BN uses momentum 0.97 / eps 1e-3 to match the reference's
+initialisation (utils/torch_utils.py:176-190: torch momentum 0.03).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+DType = Any
+
+
+def autopad(k, p=None):
+    """'same'-style padding for odd kernels (reference models/common.py:30-34)."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+def make_divisible(x, divisor=8):
+    return math.ceil(x / divisor) * divisor
+
+
+class ConvBnAct(nn.Module):
+    """Conv2D + BatchNorm + SiLU (reference `Conv`, models/common.py:37-49)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = autopad(self.k, self.p)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.g,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x)
+        return nn.silu(x).astype(self.dtype) if self.act else x.astype(self.dtype)
+
+
+class DWConv(nn.Module):
+    """Depthwise-separable conv (reference models/common.py:52-55)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        g = math.gcd(self.c1, self.c2)
+        return ConvBnAct(self.c2, self.k, self.s, g=g, act=self.act, dtype=self.dtype)(
+            x, train
+        )
+
+
+class Bottleneck(nn.Module):
+    """Residual bottleneck (reference models/common.py:94-104)."""
+
+    c1: int
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype)(y, train)
+        return x + y if self.shortcut and self.c1 == self.c2 else y
+
+
+class BottleneckCSP(nn.Module):
+    """CSP bottleneck, original formulation (reference models/common.py:107-123)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        for _ in range(self.n):
+            y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0, dtype=self.dtype)(
+                y1, train
+            )
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(y)
+        y = nn.silu(y).astype(self.dtype)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(y, train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference models/common.py:126-138)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        for _ in range(self.n):
+            y1 = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0, dtype=self.dtype)(
+                y1, train
+            )
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free transformer layer (reference models/common.py:58-72)."""
+
+    c: int
+    num_heads: int
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dense = lambda name: nn.Dense(
+            self.c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, param_dtype=jnp.float32
+        )(q, k, v)
+        x = attn + x
+        return dense("fc2")(dense("fc1")(x)) + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT-style block over flattened feature map (reference models/common.py:75-91)."""
+
+    c1: int
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.c1 != self.c2:
+            x = ConvBnAct(self.c2, dtype=self.dtype)(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + nn.Dense(self.c2, dtype=self.dtype, param_dtype=jnp.float32)(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, dtype=self.dtype)(p, train)
+        return p.reshape(b, h, w, self.c2)
+
+
+class C3TR(C3):
+    """C3 with a TransformerBlock inner stage (reference models/common.py:141-146)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        y1 = TransformerBlock(c_, c_, 4, self.n, dtype=self.dtype)(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference models/common.py:165-178)."""
+
+    c1: int
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        pools = [
+            nn.max_pool(x, (k, k), strides=(1, 1), padding=[(k // 2, k // 2)] * 2)
+            for k in self.k
+        ]
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
+            jnp.concatenate([x] + pools, axis=-1), train
+        )
+
+
+class C3SPP(C3):
+    """C3 with an SPP inner stage (reference models/common.py:149-154)."""
+
+    k: Sequence[int] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        y1 = SPP(c_, c_, self.k, dtype=self.dtype)(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class SPPF(nn.Module):
+    """Fast SPP: 3 chained k-pools ≡ SPP(k, 2k-1, 3k-2) (reference models/common.py:181-196)."""
+
+    c1: int
+    c2: int
+    k: int = 5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c1 // 2
+        x = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        k = self.k
+        pad = [(k // 2, k // 2)] * 2
+        y1 = nn.max_pool(x, (k, k), strides=(1, 1), padding=pad)
+        y2 = nn.max_pool(y1, (k, k), strides=(1, 1), padding=pad)
+        y3 = nn.max_pool(y2, (k, k), strides=(1, 1), padding=pad)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train
+        )
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (reference models/common.py:199-208)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        return ConvBnAct(self.c2, self.k, self.s, self.p, self.g, self.act, self.dtype)(
+            x, train
+        )
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference models/common.py:211-221)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBnAct(c_, self.k, self.s, None, self.g, self.act, self.dtype)(x, train)
+        y2 = ConvBnAct(c_, 5, 1, None, c_, self.act, self.dtype)(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference models/common.py:224-236)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(self.c1, c_, 1, 1, dtype=self.dtype)(x, train)
+        if self.s == 2:
+            y = DWConv(c_, c_, self.k, self.s, act=False, dtype=self.dtype)(y, train)
+        y = GhostConv(c_, self.c2, 1, 1, act=False, dtype=self.dtype)(y, train)
+        if self.s == 2:
+            sc = DWConv(self.c1, self.c1, self.k, self.s, act=False, dtype=self.dtype)(
+                x, train
+            )
+            sc = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype)(sc, train)
+        else:
+            sc = x
+        return y + sc
+
+
+class C3Ghost(C3):
+    """C3 with GhostBottleneck stages (reference models/common.py:157-162)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        for _ in range(self.n):
+            y1 = GhostBottleneck(c_, c_, dtype=self.dtype)(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class CrossConv(nn.Module):
+    """Cross convolution downsample (reference models/experimental.py:15-26)."""
+
+    c1: int
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        p1 = autopad(self.k) if self.k > 1 else 0
+        y = nn.Conv(
+            c_, (1, self.k), strides=(1, self.s), padding=[(0, 0), (p1, p1)],
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(y)
+        y = nn.silu(y).astype(self.dtype)
+        y = nn.Conv(
+            self.c2, (self.k, 1), strides=(self.s, 1), padding=[(p1, p1), (0, 0)],
+            feature_group_count=self.g, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(y)
+        y = nn.silu(y).astype(self.dtype)
+        return x + y if self.shortcut and self.c1 == self.c2 else y
+
+
+class Contract(nn.Module):
+    """Space-to-depth: (b,h,w,c) → (b,h/g,w/g,c*g²) (reference models/common.py:239-250)."""
+
+    gain: int = 2
+
+    def __call__(self, x, train: bool = False):
+        g = self.gain
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // g, g, w // g, g, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h // g, w // g, c * g * g)
+
+
+class Expand(nn.Module):
+    """Depth-to-space: (b,h,w,c) → (b,h*g,w*g,c/g²) (reference models/common.py:253-264)."""
+
+    gain: int = 2
+
+    def __call__(self, x, train: bool = False):
+        g = self.gain
+        b, h, w, c = x.shape
+        x = x.reshape(b, h, w, g, g, c // (g * g))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * g, w * g, c // (g * g))
+
+
+class Concat(nn.Module):
+    """Concatenate along channels (reference models/common.py:267-274)."""
+
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(xs, axis=-1)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbour 2x upsample (the reference's nn.Upsample rows)."""
+
+    scale: int = 2
+
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        x = jnp.repeat(x, self.scale, axis=1)
+        return jnp.repeat(x, self.scale, axis=2)
+
+
+class Classify(nn.Module):
+    """Classification head (reference models/common.py:628-638)."""
+
+    c1: int
+    c2: int
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global average pool
+        x = nn.Conv(self.c2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return x.reshape(x.shape[0], -1)

@@ -1,0 +1,323 @@
+"""YOLOv5-OBB model: YAML graph spec → Flax module, Detect head, decode.
+
+The reference builds a flat ``nn.Sequential`` with a save-list from YAML
+(models/yolo.py:271-323 ``parse_model``); we keep the YAML spec as the
+single source of truth (so every n/s/m/l/x + hub variant comes free) but
+build a Flax module graph in NHWC, and split the Detect head into
+
+* a pure conv module producing raw per-level maps ``(b, ny, nx, na, no)``
+  (training path — feeds the dense loss), and
+* a jit-friendly ``decode()`` that applies the reference's sigmoid
+  grid/anchor transform (models/yolo.py:71-78) as one fused batched op.
+
+Strides are derived with ``jax.eval_shape`` (zero-FLOP abstract probe) the
+way the reference probes with a dummy forward (models/yolo.py:121-124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from . import layers as L
+
+THETA_BINS = 180
+
+
+# ---------------------------------------------------------------------------
+# config parsing
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    index: int
+    frm: Any  # int or tuple of ints
+    repeats: int
+    name: str
+    args: tuple
+
+
+@dataclasses.dataclass
+class ModelMeta:
+    """Static model metadata needed by loss/decode/eval."""
+
+    nc: int
+    nl: int
+    na: int
+    strides: tuple  # per level, input pixels
+    anchors_px: np.ndarray  # (nl, na, 2) in input pixels
+    names: list | None = None
+
+    @property
+    def anchors_grid(self) -> np.ndarray:
+        """Anchors in feature-map units per level (reference yolo.py:124)."""
+        return self.anchors_px / np.asarray(self.strides)[:, None, None]
+
+    @property
+    def no(self) -> int:
+        return self.nc + 5 + THETA_BINS
+
+
+def load_config(cfg) -> dict:
+    if isinstance(cfg, dict):
+        return dict(cfg)
+    p = Path(cfg)
+    if not p.exists():
+        p = Path(__file__).parent / "configs" / p.name
+    with open(p) as f:
+        return yaml.safe_load(f)
+
+
+# modules whose first arg is an output-channel count subject to width scaling
+_CH_MODULES = {
+    "Conv", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP", "SPPF",
+    "DWConv", "Focus", "CrossConv", "BottleneckCSP", "C3", "C3TR", "C3SPP",
+    "C3Ghost",
+}
+# modules that additionally take the repeat count as a constructor arg
+_REPEAT_MODULES = {"BottleneckCSP", "C3", "C3TR", "C3Ghost"}
+
+
+def parse_model_config(d: dict, ch_in: int = 3):
+    """YAML dict → (specs, meta-ish info). Mirrors reference parse_model
+    channel arithmetic (models/yolo.py:271-323)."""
+    anchors, nc = d["anchors"], d["nc"]
+    gd, gw = d["depth_multiple"], d["width_multiple"]
+    na = len(anchors[0]) // 2 if isinstance(anchors, list) else anchors
+
+    specs: list[LayerSpec] = []
+    ch = [ch_in]
+    detect_from = None
+    for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
+        name = {"nn.Upsample": "Upsample", "nn.BatchNorm2d": "BatchNorm"}.get(name, name)
+        args = list(args)
+        n_eff = max(round(n * gd), 1) if n > 1 else n
+
+        if name in _CH_MODULES:
+            c1 = ch[f]
+            c2 = args[0]
+            c2 = L.make_divisible(c2 * gw, 8)
+            args = [c1, c2, *args[1:]]
+            if name in _REPEAT_MODULES:
+                args.insert(2, n_eff)
+                n_eff = 1
+        elif name == "Concat":
+            c2 = sum(ch[x] for x in f)
+        elif name == "Detect":
+            detect_from = tuple(f)
+            args = [tuple(ch[x] for x in f)]
+            c2 = None
+        elif name == "Contract":
+            c2 = ch[f] * args[0] ** 2
+        elif name == "Expand":
+            c2 = ch[f] // args[0] ** 2
+        else:
+            c2 = ch[f] if isinstance(f, int) else ch[f[0]]
+
+        specs.append(
+            LayerSpec(i, tuple(f) if isinstance(f, list) else f, n_eff, name, tuple(args))
+        )
+        if i == 0:
+            ch = []
+        ch.append(c2)
+
+    anchors_px = np.asarray(anchors, dtype=np.float32).reshape(len(anchors), -1, 2)
+    return specs, nc, na, anchors_px, detect_from
+
+
+# ---------------------------------------------------------------------------
+# Detect head
+# ---------------------------------------------------------------------------
+
+
+class Detect(nn.Module):
+    """OBB detection head: per-level 1x1 conv → (b, ny, nx, na, nc+5+180).
+
+    Output channel layout per anchor: ``[x y w h obj cls*nc theta*180]``
+    (reference models/yolo.py:33-47, no = nc+5+180).
+    """
+
+    nc: int
+    na: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+        no = self.nc + 5 + THETA_BINS
+        outs = []
+        for li, x in enumerate(xs):
+            y = nn.Conv(
+                self.na * no, (1, 1), use_bias=True,
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{li}",
+            )(x)
+            b, ny, nx, _ = y.shape
+            outs.append(y.reshape(b, ny, nx, self.na, no).astype(jnp.float32))
+        return outs
+
+
+def decode(maps, meta: ModelMeta):
+    """Raw Detect maps → ``(b, sum(na*ny*nx), no)`` decoded predictions.
+
+    xy = (2σ-0.5+grid)·stride, wh = (2σ)²·anchor_px, everything else σ
+    (reference models/yolo.py:71-79).
+    """
+    zs = []
+    for li, p in enumerate(maps):
+        b, ny, nx, na, no = p.shape
+        y = jax.nn.sigmoid(p)
+        gy = jnp.arange(ny, dtype=jnp.float32)[:, None, None, None]
+        gx = jnp.arange(nx, dtype=jnp.float32)[None, :, None, None]
+        grid = jnp.broadcast_to(
+            jnp.concatenate(
+                [jnp.broadcast_to(gx, (ny, nx, na, 1)), jnp.broadcast_to(gy, (ny, nx, na, 1))],
+                axis=-1,
+            ),
+            (ny, nx, na, 2),
+        )
+        anchor = jnp.asarray(meta.anchors_px[li], dtype=jnp.float32)  # (na, 2)
+        xy = (y[..., 0:2] * 2 - 0.5 + grid) * meta.strides[li]
+        wh = (y[..., 2:4] * 2) ** 2 * anchor
+        z = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+        zs.append(z.reshape(b, ny * nx * na, no))
+    return jnp.concatenate(zs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# full model graph
+# ---------------------------------------------------------------------------
+
+
+def _build_module(spec: LayerSpec, dtype, name: str):
+    kind, a = spec.name, spec.args
+    mk = {
+        # Conv args are [c1, c2, k, s, ...]; ConvBnAct takes c2 onwards
+        "Conv": lambda: L.ConvBnAct(*a[1:], dtype=dtype, name=name),
+        "DWConv": lambda: L.DWConv(*a, dtype=dtype, name=name),
+        "Bottleneck": lambda: L.Bottleneck(*a, dtype=dtype, name=name),
+        "BottleneckCSP": lambda: L.BottleneckCSP(*a, dtype=dtype, name=name),
+        "C3": lambda: L.C3(*a, dtype=dtype, name=name),
+        "C3TR": lambda: L.C3TR(*a, dtype=dtype, name=name),
+        "C3SPP": lambda: L.C3SPP(*a, dtype=dtype, name=name),
+        "C3Ghost": lambda: L.C3Ghost(*a, dtype=dtype, name=name),
+        "SPP": lambda: L.SPP(*a, dtype=dtype, name=name),
+        "SPPF": lambda: L.SPPF(*a, dtype=dtype, name=name),
+        "Focus": lambda: L.Focus(*a, dtype=dtype, name=name),
+        "GhostConv": lambda: L.GhostConv(*a, dtype=dtype, name=name),
+        "GhostBottleneck": lambda: L.GhostBottleneck(*a, dtype=dtype, name=name),
+        "CrossConv": lambda: L.CrossConv(*a, dtype=dtype, name=name),
+        "Contract": lambda: L.Contract(*a, name=name),
+        "Expand": lambda: L.Expand(*a, name=name),
+        "Concat": lambda: L.Concat(name=name),
+        "Upsample": lambda: L.Upsample(
+            scale=int(a[1]) if len(a) > 1 else 2, name=name
+        ),
+        "Classify": lambda: L.Classify(*a, dtype=dtype, name=name),
+    }
+    if kind not in mk:
+        raise ValueError(f"unknown module {kind!r} in model config")
+    return mk[kind]()
+
+
+class YoloModel(nn.Module):
+    """The full backbone+PAN+Detect graph built from a parsed spec."""
+
+    specs: tuple  # tuple[LayerSpec]
+    nc: int
+    na: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y: list = []
+        out = None
+
+        def fetch(j):
+            return (y[-1] if y else x) if j == -1 else y[j]
+
+        for spec in self.specs:
+            f = spec.frm
+            if spec.name == "Detect":
+                out = Detect(self.nc, self.na, dtype=self.dtype, name=f"m{spec.index}")(
+                    [fetch(j) for j in f], train
+                )
+                y.append(None)
+                continue
+            h = fetch(f) if isinstance(f, int) else [fetch(j) for j in f]
+            for r in range(spec.repeats):
+                name = f"m{spec.index}" if spec.repeats == 1 else f"m{spec.index}_{r}"
+                h = _build_module(spec, self.dtype, name)(h, train)
+            y.append(h)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# construction helpers
+# ---------------------------------------------------------------------------
+
+
+def build_model(cfg, nc: int | None = None, dtype=jnp.float32):
+    """Load config → (YoloModel, ModelMeta-without-strides, raw dict)."""
+    d = load_config(cfg)
+    if nc is not None and nc != d.get("nc"):
+        d["nc"] = nc
+    specs, nc_, na, anchors_px, _ = parse_model_config(d)
+    model = YoloModel(specs=tuple(specs), nc=nc_, na=na, dtype=dtype)
+    meta = ModelMeta(nc=nc_, nl=anchors_px.shape[0], na=na, strides=(), anchors_px=anchors_px)
+    return model, meta, d
+
+
+def probe_strides(model: YoloModel, meta: ModelMeta, imgsz: int = 256) -> ModelMeta:
+    """Derive per-level strides with an abstract (zero-FLOP) forward."""
+    dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    vars_shape = jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy)
+    outs = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False), vars_shape, dummy
+    )
+    strides = tuple(float(imgsz // o.shape[1]) for o in outs)
+    meta = dataclasses.replace(meta, strides=strides)
+    # sanity: anchor order must match stride order (reference check_anchor_order)
+    areas = meta.anchors_px.prod(-1).mean(-1)
+    if len(areas) > 1 and (np.argsort(areas) != np.argsort(strides)).any():
+        meta = dataclasses.replace(
+            meta, anchors_px=meta.anchors_px[np.argsort(np.argsort(strides))]
+        )
+    return meta
+
+
+def init_model(model: YoloModel, meta: ModelMeta, rng, imgsz: int = 640):
+    """Init variables + focal-style Detect bias priors (reference yolo.py:224-232)."""
+    dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    variables = unfreeze(variables)
+    params = variables["params"]
+    det_name = f"m{len(model.specs) - 1}"
+    det = params[det_name]
+    no = meta.no
+    for li, s in enumerate(meta.strides):
+        b = np.asarray(det[f"conv{li}"]["bias"]).reshape(meta.na, no).copy()
+        b[:, 4] += math.log(8 / (640 / s) ** 2)  # obj prior
+        b[:, 5:] += math.log(0.6 / (meta.nc - 0.999999))  # cls (+theta) prior
+        det[f"conv{li}"]["bias"] = jnp.asarray(b.reshape(-1))
+    variables["params"] = params
+    return freeze(variables)
+
+
+def create_model(cfg, nc: int | None = None, dtype=jnp.float32, rng=None, imgsz: int = 640):
+    """One-call constructor: (model, variables, meta)."""
+    model, meta, d = build_model(cfg, nc=nc, dtype=dtype)
+    meta = probe_strides(model, meta)
+    meta.names = d.get("names")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    variables = init_model(model, meta, rng, imgsz=imgsz)
+    return model, variables, meta

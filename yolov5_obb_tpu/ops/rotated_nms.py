@@ -1,0 +1,185 @@
+"""Rotated NMS and the batched OBB decode+NMS post-processing path.
+
+TPU-native replacement for the reference's CUDA extension + per-image Python
+loop (utils/nms_rotated/src/nms_rotated_cuda.cu:12-134 and
+utils/general.py:772-861 ``non_max_suppression_obb``):
+
+* static shapes end-to-end: top-k candidate selection instead of boolean
+  indexing, padded ``(max_det, 7)`` outputs with a validity count;
+* the greedy suppression scan is computed as a *fixed-point iteration*
+  ``alive[j] <- ¬∃ i<j : alive[i] ∧ iou(i,j) > thr`` (score-sorted order).
+  Any fixed point of that equation is, by induction over score order, the
+  unique greedy-NMS solution — so a ``lax.while_loop`` that stops at
+  no-change is exact while running each sweep as one (n,n)·(n,) matvec on
+  the MXU instead of the reference's host-side sequential bitmask scan
+  (nms_rotated_cuda.cu:105-128);
+* class separation is a mask on the IoU matrix rather than the reference's
+  ``+class*4096`` coordinate-offset trick (general.py:849-851), which would
+  destroy f32 precision on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .rotated_iou import pairwise_rotated_iou
+
+PI = 3.141592653589793
+
+
+def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None):
+    """Greedy rotated NMS over static-shaped inputs.
+
+    Args:
+        rboxes: ``(n, 5)`` ``[cx cy l s theta]``; padding rows allowed.
+        scores: ``(n,)``; padding / invalid boxes must carry score <= 0.
+        iou_thr: suppression threshold.
+        class_ids: optional ``(n,)`` int; suppression only within a class.
+
+    Returns:
+        keep: ``(n,)`` bool mask of surviving boxes (in input order).
+    """
+    n = scores.shape[0]
+    order = jnp.argsort(-scores)
+    b = rboxes[order]
+    s = scores[order]
+
+    iou = pairwise_rotated_iou(b, b)
+    tri = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)  # i < j in score order
+    sup = (iou > iou_thr) & tri
+    if class_ids is not None:
+        c = class_ids[order]
+        sup = sup & (c[:, None] == c[None, :])
+    sup = sup & (s[:, None] > 0)  # padding rows never suppress
+    supf = sup.astype(jnp.float32)
+
+    valid = s > 0
+
+    def cond(state):
+        alive, prev, it = state
+        return jnp.logical_and(jnp.any(alive != prev), it < n)
+
+    def body(state):
+        alive, _, it = state
+        hit = jnp.einsum("i,ij->j", alive.astype(jnp.float32), supf) > 0.5
+        return (valid & ~hit, alive, it + 1)
+
+    alive0 = valid
+    alive, _, _ = jax.lax.while_loop(cond, body, (alive0, ~alive0, jnp.int32(0)))
+
+    # map back to input order
+    keep_sorted = alive
+    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    return keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_classes",
+        "conf_thres",
+        "iou_thres",
+        "max_candidates",
+        "max_det",
+        "multi_label",
+        "agnostic",
+    ),
+)
+def non_max_suppression_obb(
+    prediction,
+    num_classes: int,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_candidates: int = 4096,
+    max_det: int = 1500,
+    multi_label: bool = False,
+    agnostic: bool = False,
+):
+    """Batched decode + rotated NMS of raw head outputs.
+
+    Args:
+        prediction: ``(B, n_anchors, 5+nc+180)`` decoded sigmoid outputs
+            ``[cx cy l s obj cls... theta_bins...]`` in image pixels
+            (the Detect head's inference concat).
+        num_classes: nc.
+
+    Returns:
+        dets: ``(B, max_det, 7)`` ``[cx cy l s theta conf cls]``,
+            theta ∈ [-pi/2, pi/2) decoded as ``(argmax_bin - 90)°``
+            (reference general.py:822-823).
+        num: ``(B,)`` int32 count of valid rows (rows are score-sorted;
+            invalid rows are zero).
+    """
+    nc = num_classes
+    boxes = prediction[..., :4]
+    obj = prediction[..., 4]
+    cls_conf = prediction[..., 5 : 5 + nc] * obj[..., None]  # conf = obj * cls
+    theta_idx = jnp.argmax(prediction[..., 5 + nc :], axis=-1)
+    theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
+
+    B, N = obj.shape
+    k = min(max_candidates, N * nc if multi_label else N)
+
+    def one_image(boxes_i, cls_conf_i, theta_i, obj_i):
+        if multi_label:
+            flat = jnp.where(
+                (cls_conf_i > conf_thres) & (obj_i[:, None] > conf_thres),
+                cls_conf_i,
+                0.0,
+            ).reshape(-1)  # (N*nc,)
+            scores, idx = jax.lax.top_k(flat, k)
+            box_idx = idx // nc
+            cls_id = idx % nc
+        else:
+            best = jnp.max(cls_conf_i, axis=-1)
+            cls_id_all = jnp.argmax(cls_conf_i, axis=-1)
+            flat = jnp.where((best > conf_thres) & (obj_i > conf_thres), best, 0.0)
+            scores, box_idx = jax.lax.top_k(flat, k)
+            cls_id = cls_id_all[box_idx]
+
+        rb = jnp.concatenate(
+            [boxes_i[box_idx], theta_i[box_idx, None]], axis=-1
+        )  # (k, 5)
+        keep = nms_rotated(
+            rb, scores, iou_thres, class_ids=None if agnostic else cls_id
+        )
+        final = jnp.where(keep, scores, 0.0)
+        top_s, top_i = jax.lax.top_k(final, max_det)
+        det = jnp.concatenate(
+            [
+                rb[top_i],
+                top_s[:, None],
+                cls_id[top_i].astype(jnp.float32)[:, None],
+            ],
+            axis=-1,
+        )
+        valid = top_s > 0
+        det = det * valid[:, None]
+        return det, jnp.sum(valid.astype(jnp.int32))
+
+    return jax.vmap(one_image)(boxes, cls_conf, theta, obj)
+
+
+def nms_rotated_np(rboxes, scores, iou_thr, iou_fn):
+    """Reference greedy NMS oracle in NumPy (mirrors nms_rotated_cpu.cpp:8-74).
+
+    `iou_fn(a, b) -> float` is injected so tests can use the independent
+    float64 polygon clipper.
+    """
+    import numpy as np
+
+    order = np.argsort(-scores, kind="stable")
+    keep = np.zeros(len(scores), dtype=bool)
+    for ii, i in enumerate(order):
+        if scores[i] <= 0:
+            continue
+        ok = True
+        for j in order[:ii]:
+            if keep[j] and iou_fn(rboxes[i], rboxes[j]) > iou_thr:
+                ok = False
+                break
+        keep[i] = ok
+    return keep
