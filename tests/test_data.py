@@ -1,0 +1,139 @@
+"""Data pipeline tests on a synthetic on-disk DOTA mini-dataset."""
+
+import numpy as np
+import pytest
+
+from yolov5_obb_tpu.data.dota import (
+    DOTA_V1_NAMES,
+    DotaDataset,
+    img2label_path,
+    parse_dota_annotation,
+)
+from yolov5_obb_tpu.data.loader import create_dataloader
+from yolov5_obb_tpu.ops.geometry import rbox2poly
+
+HYP = {
+    "mosaic": 1.0, "mixup": 0.0, "degrees": 180.0, "translate": 0.1,
+    "scale": 0.25, "shear": 0.0, "perspective": 0.0, "flipud": 0.5,
+    "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+    "csl_radius": 2.0, "copy_paste": 0.0,
+}
+
+
+@pytest.fixture(scope="module")
+def mini_dota(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("dota")
+    (root / "images").mkdir()
+    (root / "labelTxt").mkdir()
+    rng = np.random.default_rng(7)
+    for k in range(4):
+        h, w = 340, 460
+        img = np.full((h, w, 3), 90, np.uint8)
+        lines = ["imagesource:synthetic", "gsd:1.0"]
+        for b in range(5):
+            cx, cy = rng.uniform(60, w - 60), rng.uniform(60, h - 60)
+            l, s = rng.uniform(40, 90), rng.uniform(18, 36)
+            t = rng.uniform(-np.pi / 2, np.pi / 2)
+            poly = rbox2poly(np.array([[cx, cy, l, s, t]]))[0]
+            pts = poly.reshape(4, 2).astype(np.int32)
+            cv2.fillPoly(img, [pts], color=tuple(int(v) for v in rng.integers(100, 255, 3)))
+            name = DOTA_V1_NAMES[int(rng.integers(0, 15))]
+            diff = "2" if b == 4 else "0"  # last box marked difficult-2
+            lines.append(" ".join(f"{v:.1f}" for v in poly) + f" {name} {diff}")
+        cv2.imwrite(str(root / "images" / f"im{k}.png"), img)
+        (root / "labelTxt" / f"im{k}.txt").write_text("\n".join(lines))
+    return root
+
+
+def test_label_path_mapping():
+    assert img2label_path("/d/images/P01.png") == "/d/labelTxt/P01.txt"
+    assert img2label_path("/d/images/sub/P01.png") == "/d/labelTxt/sub/P01.txt"
+
+
+def test_parse_drops_difficult2(mini_dota):
+    name_to_id = {n: i for i, n in enumerate(DOTA_V1_NAMES)}
+    polys, cls = parse_dota_annotation(
+        mini_dota / "labelTxt" / "im0.txt", name_to_id
+    )
+    assert polys.shape == (4, 8)  # 5 written, 1 difficult-2 dropped
+    assert cls.shape == (4,)
+
+
+def test_eval_sample_shapes(mini_dota):
+    ds = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=256, hyp=HYP,
+        augment=False, max_labels=32,
+    )
+    assert len(ds) == 4
+    s = ds.get_eval_sample(0)
+    assert s["image"].shape == (256, 256, 3) and s["image"].dtype == np.uint8
+    assert s["targets"].shape == (32, 186)
+    n = int(s["target_mask"].sum())
+    assert n == 4
+    rb = s["targets"][:n, 1:6]
+    assert (rb[:, 0] >= 0).all() and (rb[:, 0] < 256).all()
+    assert (rb[:, 2] >= rb[:, 3]).all()  # long-edge convention
+    # CSL peak must be 1 at theta bin
+    csl = s["targets"][:n, 6:]
+    np.testing.assert_allclose(csl.max(axis=1), 1.0)
+    peak = csl.argmax(axis=1)
+    want = np.round(rb[:, 4] * 180 / np.pi + 90)
+    assert (np.abs(peak - want) <= 1).all()
+
+
+def test_train_sample_mosaic(mini_dota):
+    ds = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=256, hyp=HYP,
+        augment=True, max_labels=64,
+    )
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        s = ds.get_train_sample(0, rng)
+        assert s["image"].shape == (256, 256, 3)
+        assert s["targets"].shape == (64, 186)
+        n = int(s["target_mask"].sum())
+        if n:
+            rb = s["targets"][:n, 1:6]
+            assert (rb[:, 2] >= rb[:, 3] - 1e-3).all()
+            assert np.isfinite(rb).all()
+
+
+def test_loader_batches(mini_dota):
+    ds = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=128, hyp=HYP,
+        augment=True, max_labels=16,
+    )
+    it = create_dataloader(ds, batch_size=2, num_epochs=1, seed=0)
+    batches = list(it)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.image.shape == (2, 128, 128, 3)
+    assert b.targets.shape == (2, 16, 186)
+    assert b.target_mask.shape == (2, 16)
+
+
+def test_loader_grain_workers(mini_dota):
+    ds = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=128, hyp=HYP,
+        augment=False, max_labels=16,
+    )
+    it = create_dataloader(
+        ds, batch_size=2, num_epochs=1, seed=0, num_workers=2, augment=False,
+        shuffle=False,
+    )
+    b = next(iter(it))
+    assert b.image.shape == (2, 128, 128, 3)
+    assert b.orig_hw is not None and b.orig_hw.shape == (2, 2)
+
+
+def test_label_cache_roundtrip(mini_dota, tmp_path):
+    ds1 = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=128, cache_dir=tmp_path
+    )
+    ds2 = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=128, cache_dir=tmp_path
+    )
+    for a, b in zip(ds1.polys, ds2.polys):
+        np.testing.assert_array_equal(a, b)

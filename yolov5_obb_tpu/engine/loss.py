@@ -1,0 +1,275 @@
+"""OBB training loss: dense, fully-jit target assignment + 4-term loss.
+
+Reference semantics (utils/loss.py:91-275) re-expressed as static-shape
+masked math instead of boolean indexing:
+
+* targets arrive padded per image as ``(B, M, 6+180)``
+  ``[cls cx cy l s theta csl...]`` (pixels) with a ``(B, M)`` validity mask
+  — the collate path pads instead of concatenating ragged rows;
+* the candidate set per level is the dense lattice
+  ``(B, M, na, 5)`` = targets x anchors x {centre,left,up,right,down}
+  with the reference's anchor-ratio filter (``max(r,1/r) < anchor_t``,
+  loss.py:237-240) and ±0.5-offset cell rule (loss.py:243-250) as masks;
+* predictions for matched cells are fetched with one static-shape gather
+  per level, the objectness target grid with one scatter-max.
+
+Loss terms (loss.py:139-192): CIoU box loss, IoU-valued objectness BCE with
+per-level balance, label-smoothed class BCE, and the CSL theta BCE.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+THETA_BINS = 180
+
+DEFAULT_HYP = {
+    # data/hyps/obb/hyp.finetune_dota.yaml
+    "box": 0.05,
+    "cls": 0.5,
+    "cls_pw": 1.0,
+    "obj": 1.0,
+    "obj_pw": 1.0,
+    "theta": 0.5,
+    "theta_pw": 1.0,
+    "anchor_t": 4.0,
+    "fl_gamma": 0.0,
+    "label_smoothing": 0.0,
+}
+
+
+def smooth_bce(eps: float = 0.1):
+    """Positive/negative label-smoothing targets (reference loss.py:13-15)."""
+    return 1.0 - 0.5 * eps, 0.5 * eps
+
+
+def bce_with_logits(logits, targets, pos_weight: float = 1.0):
+    """Elementwise BCE-with-logits with pos_weight (torch semantics)."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
+
+
+def focal_modulation(logits, targets, gamma: float, alpha: float = 0.25):
+    """Focal-loss modulation factor (reference loss.py:35-62, TF variant)."""
+    p = jax.nn.sigmoid(logits)
+    p_t = targets * p + (1 - targets) * (1 - p)
+    alpha_f = targets * alpha + (1 - targets) * (1 - alpha)
+    return alpha_f * (1.0 - p_t) ** gamma
+
+
+def ciou_xywh(box1, box2, eps: float = 1e-7):
+    """CIoU of two xywh boxes over trailing dim (reference metrics.py:201-236)."""
+    b1x1, b1x2 = box1[..., 0] - box1[..., 2] / 2, box1[..., 0] + box1[..., 2] / 2
+    b1y1, b1y2 = box1[..., 1] - box1[..., 3] / 2, box1[..., 1] + box1[..., 3] / 2
+    b2x1, b2x2 = box2[..., 0] - box2[..., 2] / 2, box2[..., 0] + box2[..., 2] / 2
+    b2y1, b2y2 = box2[..., 1] - box2[..., 3] / 2, box2[..., 1] + box2[..., 3] / 2
+
+    inter = jnp.clip(jnp.minimum(b1x2, b2x2) - jnp.maximum(b1x1, b2x1), 0) * jnp.clip(
+        jnp.minimum(b1y2, b2y2) - jnp.maximum(b1y1, b2y1), 0
+    )
+    w1, h1 = b1x2 - b1x1, b1y2 - b1y1 + eps
+    w2, h2 = b2x2 - b2x1, b2y2 - b2y1 + eps
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / union
+
+    cw = jnp.maximum(b1x2, b2x2) - jnp.minimum(b1x1, b2x1)
+    ch = jnp.maximum(b1y2, b2y2) - jnp.minimum(b1y1, b2y1)
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
+    v = (4 / jnp.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+    return iou - (rho2 / c2 + v * alpha)
+
+
+# ---------------------------------------------------------------------------
+
+
+_OFFSETS = jnp.array(
+    [[0.0, 0.0], [0.5, 0.0], [0.0, 0.5], [-0.5, 0.0], [0.0, -0.5]], jnp.float32
+)  # centre, left, up, right, down (g=0.5; reference loss.py:220-224)
+
+
+def _assign_level(t_xyls, t_mask, anchors_ft, stride, ny, nx, anchor_t):
+    """Dense assignment for one pyramid level.
+
+    Args:
+        t_xyls: (B, M, 4) target [cx cy l s] in input pixels.
+        t_mask: (B, M) bool.
+        anchors_ft: (na, 2) anchors in feature units.
+        stride, ny, nx: level geometry.
+
+    Returns dict with per-candidate (B, M, na, 5) tensors:
+        mask, cell (int gj*nx+gi flattened), a (anchor idx), txy, twh.
+    """
+    g = 0.5
+    xyls = t_xyls / stride  # feature units
+    gxy = xyls[..., 0:2]  # (B, M, 2)
+    gwh = xyls[..., 2:4]
+
+    # anchor-ratio filter (B, M, na)
+    r = gwh[..., None, :] / anchors_ft  # (B, M, na, 2)
+    afilt = jnp.maximum(r, 1.0 / jnp.maximum(r, 1e-9)).max(-1) < anchor_t
+
+    # 5-way offset masks (B, M, 5)
+    fx, fy = gxy[..., 0] % 1.0, gxy[..., 1] % 1.0
+    inv_x, inv_y = nx - gxy[..., 0], ny - gxy[..., 1]
+    m_c = jnp.ones_like(fx, dtype=bool)
+    m_l = (fx < g) & (gxy[..., 0] > 1)
+    m_u = (fy < g) & (gxy[..., 1] > 1)
+    m_r = (inv_x % 1.0 < g) & (inv_x > 1)
+    m_d = (inv_y % 1.0 < g) & (inv_y > 1)
+    off_mask = jnp.stack([m_c, m_l, m_u, m_r, m_d], axis=-1)
+
+    gij = jnp.floor(gxy[..., None, :] - _OFFSETS)  # (B, M, 5, 2)
+    gi = jnp.clip(gij[..., 0], 0, nx - 1)
+    gj = jnp.clip(gij[..., 1], 0, ny - 1)
+    txy = gxy[..., None, :] - jnp.stack([gi, gj], axis=-1)  # (B, M, 5, 2)
+
+    mask = (
+        t_mask[..., None, None] & afilt[..., :, None] & off_mask[..., None, :]
+    )  # (B, M, na, 5)
+    cell = (gj * nx + gi).astype(jnp.int32)  # (B, M, 5)
+    return {
+        "mask": mask,
+        "cell": jnp.broadcast_to(cell[..., None, :], mask.shape),
+        "txy": txy,  # (B, M, 5, 2) — broadcast over anchors downstream
+        "twh": gwh,  # (B, M, 2)
+    }
+
+
+def _masked_mean(x, mask, eps=1e-9):
+    m = mask.astype(x.dtype)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "strides", "hyp_static"))
+def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_static):
+    hyp = dict(hyp_static)
+    cp, cn = smooth_bce(hyp.get("label_smoothing", 0.0))
+    gamma = hyp.get("fl_gamma", 0.0)
+    nl = len(maps)
+    balance = {3: (4.0, 1.0, 0.4)}.get(nl, (4.0, 1.0, 0.25, 0.06, 0.02))
+
+    t_cls = targets[..., 0].astype(jnp.int32)  # (B, M)
+    t_xyls = targets[..., 1:5]
+    t_csl = targets[..., 6 : 6 + THETA_BINS]  # (B, M, 180)
+
+    lbox = lobj = lcls = ltheta = 0.0
+    B = maps[0].shape[0]
+
+    for li in range(nl):
+        p = maps[li]  # (B, ny, nx, na, no)
+        _, ny, nx, na, no = p.shape
+        asn = _assign_level(
+            t_xyls, t_mask, anchors_grid[li], strides[li], ny, nx, hyp["anchor_t"]
+        )
+        mask = asn["mask"]  # (B, M, na, 5)
+        Bb, M = mask.shape[:2]
+        K = M * na * 5
+
+        # flatten candidates and gather predictions at their cells
+        cell = asn["cell"].reshape(B, M, na, 5)
+        a_idx = jnp.broadcast_to(
+            jnp.arange(na, dtype=jnp.int32)[None, None, :, None], mask.shape
+        )
+        flat_idx = (cell * na + a_idx).reshape(B, K)
+        pf = p.reshape(B, ny * nx * na, no)
+        ps = jnp.take_along_axis(pf, flat_idx[..., None], axis=1)  # (B, K, no)
+
+        mflat = mask.reshape(B, K)
+
+        # --- box: CIoU in feature units --------------------------------
+        pxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
+        anch = jnp.broadcast_to(
+            anchors_grid[li][None, None, :, None, :], (B, M, na, 5, 2)
+        ).reshape(B, K, 2)
+        pwh = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * anch
+        pbox = jnp.concatenate([pxy, pwh], axis=-1)
+        txy = jnp.broadcast_to(asn["txy"][:, :, None, :, :], (B, M, na, 5, 2)).reshape(
+            B, K, 2
+        )
+        twh = jnp.broadcast_to(
+            asn["twh"][:, :, None, None, :], (B, M, na, 5, 2)
+        ).reshape(B, K, 2)
+        tbox = jnp.concatenate([txy, twh], axis=-1)
+        iou = ciou_xywh(pbox, tbox)  # (B, K)
+        lbox = lbox + _masked_mean(1.0 - iou, mflat)
+
+        # --- objectness target grid via scatter-max ---------------------
+        score_iou = jax.lax.stop_gradient(jnp.clip(iou, 0.0))
+        tobj = jnp.zeros((B, ny * nx * na), jnp.float32)
+        bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
+        tobj = tobj.at[bidx, flat_idx].max(
+            jnp.where(mflat, score_iou, 0.0), mode="drop"
+        )
+        obj_logit = p[..., 4].reshape(B, ny * nx * na)
+        obj_l = bce_with_logits(obj_logit, tobj, hyp["obj_pw"])
+        if gamma > 0:
+            obj_l = obj_l * focal_modulation(obj_logit, tobj, gamma)
+        lobj = lobj + obj_l.mean() * balance[li]
+
+        # --- classification ---------------------------------------------
+        if nc > 1:
+            cls_logit = ps[..., 5 : 5 + nc]  # (B, K, nc)
+            tcls = jnp.broadcast_to(
+                t_cls[:, :, None, None], (B, M, na, 5)
+            ).reshape(B, K)
+            t_onehot = jnp.where(
+                jax.nn.one_hot(tcls, nc, dtype=jnp.float32) > 0, cp, cn
+            )
+            cls_l = bce_with_logits(cls_logit, t_onehot, hyp["cls_pw"])
+            if gamma > 0:
+                cls_l = cls_l * focal_modulation(cls_logit, t_onehot, gamma)
+            lcls = lcls + _masked_mean(
+                cls_l, jnp.broadcast_to(mflat[..., None], cls_l.shape)
+            )
+
+        # --- theta CSL ---------------------------------------------------
+        th_logit = ps[..., 5 + nc :]  # (B, K, 180)
+        tth = jnp.broadcast_to(
+            t_csl[:, :, None, None, :], (B, M, na, 5, THETA_BINS)
+        ).reshape(B, K, THETA_BINS)
+        th_l = bce_with_logits(th_logit, tth, hyp["theta_pw"])
+        if gamma > 0:
+            th_l = th_l * focal_modulation(th_logit, tth, gamma)
+        ltheta = ltheta + _masked_mean(
+            th_l, jnp.broadcast_to(mflat[..., None], th_l.shape)
+        )
+
+    lbox = lbox * hyp["box"]
+    lobj = lobj * hyp["obj"]
+    lcls = lcls * hyp["cls"]
+    ltheta = ltheta * hyp["theta"]
+    total = (lbox + lobj + lcls + ltheta) * B  # reference scales by bs (loss.py:189-192)
+    return total, jnp.stack([lbox, lobj, lcls, ltheta])
+
+
+class ComputeLoss:
+    """Callable loss bound to model meta + hyp (reference utils/loss.py:91)."""
+
+    def __init__(self, meta, hyp: dict | None = None):
+        h = dict(DEFAULT_HYP)
+        if hyp:
+            h.update({k: v for k, v in hyp.items() if k in DEFAULT_HYP})
+        self.hyp_static = tuple(sorted(h.items()))
+        self.nc = meta.nc
+        self.strides = tuple(meta.strides)
+        self.anchors_grid = jnp.asarray(meta.anchors_grid, jnp.float32)
+
+    def __call__(self, maps: Sequence[Any], targets, t_mask):
+        """maps: list of (B,ny,nx,na,no) raw logits; targets (B,M,186);
+        t_mask (B,M) bool. Returns (total_loss, [lbox lobj lcls ltheta])."""
+        return _compute_loss_impl(
+            tuple(maps),
+            targets,
+            t_mask,
+            self.anchors_grid,
+            self.nc,
+            self.strides,
+            self.hyp_static,
+        )
