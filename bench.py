@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: yolov5m @1024, batch 16, inference + decode + rotated NMS.
+
+Baseline (BASELINE.md): 11.3 ms/img on RTX 2080Ti (batch 16 @1024, includes
+preprocess + NMS).  Prints one JSON line; ``vs_baseline`` is the speedup
+ratio baseline_ms / our_ms (>1 = faster than the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MS = 11.3
+BATCH = 16
+IMGSZ = 1024
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.engine.evaluator import make_predict_fn
+    from yolov5_obb_tpu.models.yolo import create_model
+
+    model, variables, meta = create_model(
+        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ
+    )
+    predict = make_predict_fn(
+        model, meta, conf_thres=0.25, iou_thres=0.45, max_det=1500,
+        multi_label=False, max_candidates=2048,
+    )
+
+    rng = np.random.default_rng(0)
+    host_img = rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
+
+    def run_once():
+        x = jax.device_put(host_img)  # include host→device transfer
+        dets, num = predict(variables, x)
+        jax.block_until_ready(dets)
+        return dets
+
+    run_once()  # compile
+    run_once()  # warm caches
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    dt = (time.perf_counter() - t0) / iters
+    ms_per_img = dt * 1000.0 / BATCH
+
+    print(
+        json.dumps(
+            {
+                "metric": "yolov5m_b16_1024_infer_nms_ms_per_img",
+                "value": round(ms_per_img, 3),
+                "unit": "ms/img",
+                "vs_baseline": round(BASELINE_MS / ms_per_img, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

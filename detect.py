@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Inference CLI: oriented-box detection on images/dirs (reference detect.py).
+
+Usage:
+    python detect.py --weights runs/train/exp/best --source path/to/images \
+        --cfg yolov5n.yaml --data yolov5_obb_tpu/data/configs/dotav1.yaml \
+        --imgsz 1024 --conf-thres 0.25 --save-txt
+
+Outputs annotated images and optional label txts
+(``cls x1 y1 x2 y2 x3 y3 x4 y4 [conf]``, reference detect.py:156-162).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+from yolov5_obb_tpu.data.augment import letterbox
+from yolov5_obb_tpu.data.dota import IMG_EXTS
+from yolov5_obb_tpu.engine.evaluator import make_predict_fn
+from yolov5_obb_tpu.models.yolo import create_model
+from yolov5_obb_tpu.ops.geometry import rbox2poly, scale_polys
+from yolov5_obb_tpu.utils.checkpoint import load_weights
+from yolov5_obb_tpu.utils.general import increment_path, load_dataset_config
+from yolov5_obb_tpu.utils.plots import annotate_detections
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="", help="orbax weights dir")
+    p.add_argument("--cfg", type=str, default="yolov5n.yaml", help="model config")
+    p.add_argument("--source", type=str, required=True, help="image file or dir")
+    p.add_argument("--data", type=str, default=None, help="dataset yaml (names)")
+    p.add_argument("--imgsz", type=int, default=1024)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--max-det", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--nosave", action="store_true", help="skip annotated images")
+    p.add_argument("--hide-conf", action="store_true")
+    p.add_argument("--line-thickness", type=int, default=2)
+    p.add_argument("--project", type=str, default="runs/detect")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    return p.parse_args()
+
+
+def list_images(source):
+    p = Path(source)
+    if p.is_dir():
+        return [f for f in sorted(p.rglob("*")) if f.suffix.lower() in IMG_EXTS]
+    return [p]
+
+
+def run(opt):
+    import jax.numpy as jnp
+
+    names = None
+    nc = None
+    if opt.data:
+        d = load_dataset_config(opt.data)
+        names, nc = d["names"], d["nc"]
+
+    model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz)
+    if opt.weights:
+        variables, wmeta = load_weights(opt.weights)
+        names = names or wmeta.get("names")
+    if names is None:
+        names = [str(i) for i in range(meta.nc)]
+
+    predict = make_predict_fn(
+        model, meta, opt.conf_thres, opt.iou_thres, opt.max_det, multi_label=True
+    )
+
+    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
+    if opt.save_txt:
+        (save_dir / "labels").mkdir(parents=True, exist_ok=True)
+
+    files = list_images(opt.source)
+    t_pre = t_inf = 0.0
+    n_det_total = 0
+    for f in files:
+        im0 = cv2.imread(str(f))
+        if im0 is None:
+            print(f"skipping unreadable {f}")
+            continue
+        t0 = time.perf_counter()
+        img, ratio, pad = letterbox(im0, opt.imgsz, auto=False, scaleup=False)
+        x = np.ascontiguousarray(img[:, :, ::-1])[None]  # BGR→RGB, add batch
+        t1 = time.perf_counter()
+        dets, num = predict(variables, jnp.asarray(x))
+        dets = np.asarray(dets)
+        n = int(np.asarray(num)[0])
+        t2 = time.perf_counter()
+        t_pre += t1 - t0
+        t_inf += t2 - t1
+
+        d = dets[0, :n]
+        polys = rbox2poly(d[:, :5]) if n else np.zeros((0, 8))
+        if n:
+            polys = scale_polys((opt.imgsz, opt.imgsz), polys, im0.shape[:2])
+        conf, cls = d[:, 5], d[:, 6]
+        n_det_total += n
+
+        if opt.save_txt:
+            lines = []
+            for k in range(n):
+                row = [int(cls[k]), *polys[k].tolist()]
+                if opt.save_conf:
+                    row.append(float(conf[k]))
+                lines.append(" ".join(f"{v:g}" for v in row))
+            (save_dir / "labels" / f"{f.stem}.txt").write_text("\n".join(lines) + "\n" if lines else "")
+
+        if not opt.nosave:
+            annotate_detections(
+                im0, polys, conf, cls, names,
+                line_width=opt.line_thickness, hide_conf=opt.hide_conf,
+            )
+            cv2.imwrite(str(save_dir / f.name), im0)
+        print(f"{f.name}: {n} detections ({(t2 - t1) * 1000:.1f} ms)")
+
+    n = max(len(files), 1)
+    print(
+        f"Speed: {t_pre / n * 1000:.1f}ms pre-process, {t_inf / n * 1000:.1f}ms "
+        f"inference+NMS per image at shape (1, {opt.imgsz}, {opt.imgsz}, 3)"
+    )
+    print(f"Results saved to {save_dir} ({n_det_total} detections)")
+    return save_dir
+
+
+if __name__ == "__main__":
+    run(parse_opt())

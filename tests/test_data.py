@@ -22,29 +22,9 @@ HYP = {
 
 @pytest.fixture(scope="module")
 def mini_dota(tmp_path_factory):
-    import cv2
+    from conftest import build_mini_dota
 
-    root = tmp_path_factory.mktemp("dota")
-    (root / "images").mkdir()
-    (root / "labelTxt").mkdir()
-    rng = np.random.default_rng(7)
-    for k in range(4):
-        h, w = 340, 460
-        img = np.full((h, w, 3), 90, np.uint8)
-        lines = ["imagesource:synthetic", "gsd:1.0"]
-        for b in range(5):
-            cx, cy = rng.uniform(60, w - 60), rng.uniform(60, h - 60)
-            l, s = rng.uniform(40, 90), rng.uniform(18, 36)
-            t = rng.uniform(-np.pi / 2, np.pi / 2)
-            poly = rbox2poly(np.array([[cx, cy, l, s, t]]))[0]
-            pts = poly.reshape(4, 2).astype(np.int32)
-            cv2.fillPoly(img, [pts], color=tuple(int(v) for v in rng.integers(100, 255, 3)))
-            name = DOTA_V1_NAMES[int(rng.integers(0, 15))]
-            diff = "2" if b == 4 else "0"  # last box marked difficult-2
-            lines.append(" ".join(f"{v:.1f}" for v in poly) + f" {name} {diff}")
-        cv2.imwrite(str(root / "images" / f"im{k}.png"), img)
-        (root / "labelTxt" / f"im{k}.txt").write_text("\n".join(lines))
-    return root
+    return build_mini_dota(tmp_path_factory.mktemp("dota"))
 
 
 def test_label_path_mapping():

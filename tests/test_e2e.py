@@ -1,0 +1,80 @@
+"""End-to-end slice: train a tiny model on mini-DOTA, checkpoint, val, detect."""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _write_dataset_yaml(root, out):
+    out.write_text(
+        f"path: {root}\ntrain: images\nval: images\nnc: 15\n"
+        "names: [plane, baseball-diamond, bridge, ground-track-field,\n"
+        "        small-vehicle, large-vehicle, ship, tennis-court,\n"
+        "        basketball-court, storage-tank, soccer-ball-field,\n"
+        "        roundabout, harbor, swimming-pool, helicopter]\n"
+    )
+    return out
+
+
+@pytest.mark.slow
+def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
+    import train as train_cli
+    import val as val_cli
+    import detect as detect_cli
+
+    data_yaml = _write_dataset_yaml(mini_dota_session, tmp_path / "data.yaml")
+
+    opt = types.SimpleNamespace(
+        cfg="yolov5n.yaml", data=str(data_yaml), hyp=None, weights="",
+        epochs=2, batch_size=2, imgsz=128, max_labels=16, workers=0,
+        dtype="float32", seed=0, noval=False, nosave=False, val_images=2,
+        save_period=-1, patience=100, linear_lr=False, adam=False, resume="",
+        log_interval=100, project=str(tmp_path / "runs/train"), name="exp",
+        exist_ok=True,
+    )
+    save_dir, best_fit = train_cli.run(opt)
+    assert (save_dir / "results.csv").exists()
+    assert (save_dir / "last").exists()
+    # results.csv has 2 epochs + header
+    lines = (save_dir / "results.csv").read_text().strip().splitlines()
+    assert len(lines) == 3
+    weights = save_dir / ("best" if (save_dir / "best").exists() else "last")
+
+    # --- val CLI -------------------------------------------------------
+    vopt = types.SimpleNamespace(
+        weights=str(save_dir / "best") if (save_dir / "best").exists() else "",
+        cfg="yolov5n.yaml", data=str(data_yaml), task="val", imgsz=128,
+        batch_size=2, conf_thres=0.01, iou_thres=0.4, max_det=100,
+        max_images=None, save_json=True, save_task1=True, hyp=None,
+        project=str(tmp_path / "runs/val"), name="exp", exist_ok=True,
+    )
+    res = val_cli.run(vopt)
+    assert 0.0 <= res["map50"] <= 1.0
+    assert (tmp_path / "runs/val/exp/best_obb_predictions.json").exists()
+    assert list((tmp_path / "runs/val/exp/task1_raw").glob("Task1_*.txt"))
+
+    # --- detect CLI ----------------------------------------------------
+    dopt = types.SimpleNamespace(
+        weights=str(save_dir / "best") if (save_dir / "best").exists() else "",
+        cfg="yolov5n.yaml", source=str(mini_dota_session / "images"),
+        data=str(data_yaml), imgsz=128, conf_thres=0.05, iou_thres=0.45,
+        max_det=50, batch_size=1, save_txt=True, save_conf=True, nosave=False,
+        hide_conf=False, line_thickness=2,
+        project=str(tmp_path / "runs/detect"), name="exp", exist_ok=True,
+    )
+    out_dir = detect_cli.run(dopt)
+    imgs = list(out_dir.glob("*.png"))
+    assert len(imgs) == 4, "annotated images missing"
+
+    # --- resume path ----------------------------------------------------
+    opt.resume = str(save_dir / "last")
+    opt.epochs = 3
+    save_dir2, _ = train_cli.run(opt)
+    lines = (save_dir2 / "results.csv").read_text().strip().splitlines()
+    assert len(lines) >= 4  # header + epochs 0,1 (+2 resumed)

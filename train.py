@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Training CLI (reference train.py redesigned for TPU/pjit).
+
+Usage:
+    python train.py --data yolov5_obb_tpu/data/configs/dotav1.yaml \
+        --cfg yolov5m.yaml --imgsz 1024 --batch-size 16 --epochs 300 \
+        --workers 8
+
+Data parallelism: the global batch is sharded over all visible devices via a
+1-D ``data`` mesh (no DDP launcher, no NCCL — XLA inserts the grad
+all-reduce).  Checkpoints are Orbax trees under runs/train/exp*/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from yolov5_obb_tpu.data.dota import DotaDataset
+from yolov5_obb_tpu.data.loader import create_dataloader
+from yolov5_obb_tpu.engine.evaluator import evaluate
+from yolov5_obb_tpu.engine.loss import ComputeLoss
+from yolov5_obb_tpu.engine.optim import build_optimizer
+from yolov5_obb_tpu.engine.trainer import (
+    create_train_state,
+    make_mesh,
+    make_train_step,
+    put_batch,
+)
+from yolov5_obb_tpu.models.yolo import create_model
+from yolov5_obb_tpu.utils.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+    save_weights,
+)
+from yolov5_obb_tpu.utils.general import (
+    increment_path,
+    init_seeds,
+    load_dataset_config,
+    load_hyp,
+    scale_hyp_gains,
+)
+from yolov5_obb_tpu.utils.metrics import fitness
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", type=str, default="yolov5n.yaml")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--hyp", type=str, default=None)
+    p.add_argument("--weights", type=str, default="", help="initial weights (orbax dir)")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=16, help="global batch size")
+    p.add_argument("--imgsz", type=int, default=1024)
+    p.add_argument("--max-labels", type=int, default=500)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--noval", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
+    p.add_argument("--save-period", type=int, default=-1)
+    p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--project", type=str, default="runs/train")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    return p.parse_args()
+
+
+def run(opt):
+    import jax.numpy as jnp
+
+    init_seeds(opt.seed)
+    d = load_dataset_config(opt.data)
+    hyp = load_hyp(opt.hyp)
+    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
+    print(f"run dir: {save_dir}; devices: {jax.devices()}")
+
+    # --- data ---------------------------------------------------------
+    train_ds = DotaDataset(
+        d["train"], d["names"], img_size=opt.imgsz, hyp=hyp, augment=True,
+        max_labels=opt.max_labels, cache_dir=save_dir / "cache",
+    )
+    val_ds = None
+    if not opt.noval and d.get("val"):
+        val_ds = DotaDataset(
+            d["val"], d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,
+            max_labels=1000, cache_dir=save_dir / "cache",
+        )
+    steps_per_epoch = max(len(train_ds) // opt.batch_size, 1)
+
+    # --- model / loss / optimizer -------------------------------------
+    dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    model, variables, meta = create_model(
+        opt.cfg, nc=d["nc"], dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
+        imgsz=opt.imgsz,
+    )
+    if opt.weights:
+        from yolov5_obb_tpu.utils.checkpoint import load_weights
+
+        loaded, _ = load_weights(opt.weights)
+        variables = loaded
+
+    hyp_scaled = scale_hyp_gains(hyp, meta.nl, meta.nc, opt.imgsz)
+    loss_fn = ComputeLoss(meta, hyp_scaled)
+    tx, opt_info = build_optimizer(
+        variables["params"], hyp, epochs=opt.epochs,
+        steps_per_epoch=steps_per_epoch, batch_size=opt.batch_size,
+        linear_lr=opt.linear_lr, use_adam=opt.adam,
+    )
+    print(
+        f"optimizer: {'adam' if opt.adam else 'sgd'} accumulate={opt_info['accumulate']} "
+        f"wd={opt_info['weight_decay']:.5f} steps/epoch={steps_per_epoch}"
+    )
+
+    import math
+
+    n_dev = math.gcd(opt.batch_size, len(jax.devices()))
+    if n_dev < len(jax.devices()):
+        print(
+            f"note: using {n_dev}/{len(jax.devices())} devices "
+            f"(batch {opt.batch_size} must divide across the data mesh)"
+        )
+    mesh = make_mesh(n_dev)
+    state = create_train_state(variables, tx)
+    start_epoch = 0
+    best_fit = -1.0
+    if opt.resume:
+        state, ckpt_meta = restore_checkpoint(opt.resume, state)
+        start_epoch = int(ckpt_meta.get("epoch", 0)) + 1
+        best_fit = float(ckpt_meta.get("best_fitness", -1.0))
+        print(f"resumed from {opt.resume} at epoch {start_epoch}")
+    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh)
+
+    # --- loop ----------------------------------------------------------
+    csv_path = save_dir / "results.csv"
+    if not csv_path.exists():
+        with open(csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(
+                ["epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
+                 "train/theta_loss", "metrics/precision", "metrics/recall",
+                 "metrics/HBBmAP.5", "metrics/HBBmAP.5:.95", "fitness",
+                 "time_s"]
+            )
+
+    patience_left = opt.patience
+    for epoch in range(start_epoch, opt.epochs):
+        t0 = time.time()
+        loader = create_dataloader(
+            train_ds, opt.batch_size, shuffle=True, augment=True,
+            seed=opt.seed + epoch, num_workers=opt.workers, num_epochs=1,
+        )
+        mloss = np.zeros(4)
+        nb = 0
+        for batch in loader:
+            dev = put_batch(batch, mesh)
+            state, m = step_fn(state, *dev)
+            mloss += np.asarray(m["items"])
+            nb += 1
+            if nb % opt.log_interval == 0:
+                cur = mloss / nb
+                print(
+                    f"epoch {epoch} step {nb}/{steps_per_epoch} "
+                    f"box {cur[0]:.4f} obj {cur[1]:.4f} cls {cur[2]:.4f} "
+                    f"theta {cur[3]:.4f}"
+                )
+        mloss = mloss / max(nb, 1)
+
+        # validation with EMA weights
+        metrics = {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0}
+        if val_ds is not None:
+            ema_vars = {"params": state.ema_params, "batch_stats": state.batch_stats}
+            metrics = evaluate(
+                model, ema_vars, meta, val_ds, batch_size=max(opt.batch_size, 2),
+                conf_thres=0.01, iou_thres=0.4, verbose=True,
+                max_images=opt.val_images,
+            )
+        fit = fitness(metrics["mp"], metrics["mr"], metrics["map50"], metrics["map"])
+
+        with open(csv_path, "a", newline="") as f:
+            csv.writer(f).writerow(
+                [epoch, *(f"{v:.5f}" for v in mloss), f"{metrics['mp']:.5f}",
+                 f"{metrics['mr']:.5f}", f"{metrics['map50']:.5f}",
+                 f"{metrics['map']:.5f}", f"{fit:.5f}", f"{time.time()-t0:.1f}"]
+            )
+        print(
+            f"epoch {epoch}/{opt.epochs - 1} done in {time.time()-t0:.1f}s  "
+            f"loss(box,obj,cls,theta)={np.round(mloss, 4).tolist()}  "
+            f"HBBmAP@.5={metrics['map50']:.4f} fitness={fit:.4f}"
+        )
+
+        if not opt.nosave:
+            ckpt_meta = {
+                "epoch": epoch, "best_fitness": max(best_fit, fit),
+                "names": d["names"], "cfg": opt.cfg, "imgsz": opt.imgsz,
+            }
+            save_checkpoint(save_dir / "last", state, ckpt_meta)
+            if fit > best_fit:
+                best_fit = fit
+                patience_left = opt.patience
+                save_weights(
+                    save_dir / "best",
+                    state.ema_params, state.batch_stats, ckpt_meta,
+                )
+            else:
+                patience_left -= 1
+            if opt.save_period > 0 and epoch % opt.save_period == 0:
+                save_checkpoint(save_dir / f"epoch{epoch}", state, ckpt_meta)
+        if patience_left <= 0:
+            print(f"early stopping at epoch {epoch} (patience {opt.patience})")
+            break
+
+    print(f"training complete; best fitness {best_fit:.4f}; results in {save_dir}")
+    return save_dir, best_fit
+
+
+if __name__ == "__main__":
+    run(parse_opt())

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Validation CLI: HBB metrics + DOTA-format outputs (reference val.py).
+
+Usage:
+    python val.py --weights runs/train/exp/best --data .../dotav1.yaml \
+        --cfg yolov5m.yaml --imgsz 1024 --batch-size 8 --save-json
+
+The printed HBB mAP matches the reference's in-train metric (val.py:241-244);
+exact OBB mAP comes from the devkit evaluator on the merged Task1 files.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from yolov5_obb_tpu.data.dota import DotaDataset
+from yolov5_obb_tpu.engine.evaluator import evaluate, save_dota_task1
+from yolov5_obb_tpu.models.yolo import create_model
+from yolov5_obb_tpu.utils.checkpoint import load_weights
+from yolov5_obb_tpu.utils.general import increment_path, load_dataset_config, load_hyp
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--cfg", type=str, default="yolov5n.yaml")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--task", type=str, default="val", choices=["train", "val", "test", "speed"])
+    p.add_argument("--imgsz", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--conf-thres", type=float, default=0.01)
+    p.add_argument("--iou-thres", type=float, default=0.4, help="NMS IoU threshold")
+    p.add_argument("--max-det", type=int, default=1500)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--save-json", action="store_true")
+    p.add_argument("--save-task1", action="store_true", help="per-class Task1 txts for devkit merge")
+    p.add_argument("--hyp", type=str, default=None)
+    p.add_argument("--project", type=str, default="runs/val")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    return p.parse_args()
+
+
+def run(opt):
+    d = load_dataset_config(opt.data)
+    hyp = load_hyp(opt.hyp)
+    split = d.get(opt.task if opt.task != "speed" else "val") or d["val"]
+    dataset = DotaDataset(
+        split, d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,
+        max_labels=1000,
+    )
+
+    model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
+    if opt.weights:
+        variables, _ = load_weights(opt.weights)
+
+    save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
+    if opt.task == "speed":
+        res = evaluate(
+            model, variables, meta, dataset, batch_size=opt.batch_size,
+            conf_thres=0.25, iou_thres=0.45, max_det=opt.max_det,
+            verbose=True, max_images=opt.max_images or 64,
+        )
+        print(f"speed: {res['speed_ms_per_img']:.2f} ms/img (bs={opt.batch_size})")
+        return res
+
+    res = evaluate(
+        model, variables, meta, dataset, batch_size=opt.batch_size,
+        conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
+        verbose=True,
+        save_json=str(save_dir / "best_obb_predictions.json") if opt.save_json else None,
+        max_images=opt.max_images,
+    )
+    header = f"{'Class':>22}{'P':>10}{'R':>10}{'HBBmAP@.5':>12}{'HBBmAP@.5:.95':>15}"
+    print(header)
+    print(f"{'all':>22}{res['mp']:>10.3f}{res['mr']:>10.3f}{res['map50']:>12.4f}{res['map']:>15.4f}")
+    for name, m in res["per_class"].items():
+        print(f"{name:>22}{m['p']:>10.3f}{m['r']:>10.3f}{m['ap50']:>12.4f}{m['ap']:>15.4f}")
+    if opt.save_task1:
+        save_dota_task1(res["detections"], d["names"], save_dir / "task1_raw")
+        print(f"Task1 txts saved to {save_dir / 'task1_raw'}")
+    print(f"Results saved to {save_dir}")
+    return res
+
+
+if __name__ == "__main__":
+    run(parse_opt())

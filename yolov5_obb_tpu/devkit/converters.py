@@ -1,0 +1,110 @@
+"""Format converters around the DOTA toolchain.
+
+Covers the reference's tools/TestJson2VocClassTxt.py:29-48 (val-JSON →
+per-class Task1 txts), DOTA_devkit/DOTA2COCO.py:21-120 (DOTA → COCO json)
+and dota_utils groundtruth2Task1 (:154-176).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def json_to_task1(json_path, out_dir, classnames):
+    """val.py --save-json output → per-class ``Task1_<name>.txt`` files.
+
+    Rows: ``{image_id} {score} {poly}`` — the devkit merge input format."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    dets = json.loads(Path(json_path).read_text())
+    per_class = defaultdict(list)
+    for d in dets:
+        cid = int(d["category_id"])
+        if cid >= len(classnames):
+            continue
+        poly = " ".join(f"{float(v):.1f}" for v in d["poly"])
+        per_class[cid].append(f"{d['image_id']} {d['score']:.5f} {poly}")
+    for i, name in enumerate(classnames):
+        (out / f"Task1_{name}.txt").write_text(
+            "\n".join(per_class.get(i, [])) + ("\n" if per_class.get(i) else "")
+        )
+    return out
+
+
+def groundtruth_to_task1(anno_dir, out_dir, classnames, skip_difficult2=False):
+    """DOTA labelTxt dir → per-class Task1 files with score 1.0
+    (reference dota_utils.groundtruth2Task1:154-176)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    per_class = defaultdict(list)
+    for f in sorted(Path(anno_dir).glob("*.txt")):
+        stem = f.stem
+        for line in f.read_text().splitlines():
+            parts = line.split()
+            if len(parts) < 9 or parts[8] not in classnames:
+                continue
+            if skip_difficult2 and len(parts) > 9 and parts[9] == "2":
+                continue
+            poly = " ".join(parts[:8])
+            per_class[parts[8]].append(f"{stem} 1.0 {poly}")
+    for name in classnames:
+        (out / f"Task1_{name}.txt").write_text(
+            "\n".join(per_class.get(name, [])) + ("\n" if per_class.get(name) else "")
+        )
+    return out
+
+
+def dota_to_coco(split_dir, out_json, classnames, difficult_ok=("0", "1")):
+    """DOTA split dir (images/ + labelTxt/) → COCO detection json
+    (reference DOTA2COCO.py:21-120; hbb covers of the polys)."""
+    import cv2
+
+    split = Path(split_dir)
+    images, annotations = [], []
+    categories = [
+        {"id": i + 1, "name": n, "supercategory": n} for i, n in enumerate(classnames)
+    ]
+    name_to_id = {n: i + 1 for i, n in enumerate(classnames)}
+    ann_id = 1
+    img_files = sorted((split / "images").glob("*"))
+    for img_id, f in enumerate(img_files, start=1):
+        img = cv2.imread(str(f))
+        if img is None:
+            continue
+        h, w = img.shape[:2]
+        images.append({"id": img_id, "file_name": f.name, "height": h, "width": w})
+        lab = split / "labelTxt" / f"{f.stem}.txt"
+        if not lab.exists():
+            continue
+        for line in lab.read_text().splitlines():
+            parts = line.split()
+            if len(parts) < 9 or parts[8] not in name_to_id:
+                continue
+            if len(parts) > 9 and parts[9] not in difficult_ok:
+                continue
+            poly = np.array([float(v) for v in parts[:8]])
+            x, y = poly[0::2], poly[1::2]
+            bw, bh = x.max() - x.min(), y.max() - y.min()
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": img_id,
+                    "category_id": name_to_id[parts[8]],
+                    "segmentation": [poly.tolist()],
+                    "bbox": [float(x.min()), float(y.min()), float(bw), float(bh)],
+                    "area": float(bw * bh),
+                    "iscrowd": 0,
+                }
+            )
+            ann_id += 1
+    Path(out_json).parent.mkdir(parents=True, exist_ok=True)
+    Path(out_json).write_text(
+        json.dumps(
+            {"images": images, "annotations": annotations, "categories": categories}
+        )
+    )
+    return out_json

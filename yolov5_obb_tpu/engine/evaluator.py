@@ -1,0 +1,189 @@
+"""Evaluation: batched device inference + host HBB metrics & OBB outputs.
+
+Mirrors the reference val flow (val.py:94-330): decode+rotated-NMS on
+device (static shapes), then per image on host: rbox→poly, rescale to
+native resolution, HBB-cover TP matching at 10 IoU thresholds, AP
+aggregation, and DOTA-format JSON/txt export for the devkit merge step.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dota import DotaDataset
+from ..models.yolo import decode
+from ..ops.geometry import poly2hbb, rbox2poly, scale_polys, xywh2xyxy
+from ..ops.rotated_nms import non_max_suppression_obb
+from ..utils.metrics import ap_per_class, process_batch_hbb
+
+
+def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=True,
+                    max_candidates=4096):
+    """Jitted image→detections function; shared by val/detect."""
+
+    @jax.jit
+    def predict(variables, image_u8):
+        x = image_u8.astype(jnp.float32) / 255.0
+        maps = model.apply(variables, x, train=False)
+        pred = decode(maps, meta)
+        dets, num = non_max_suppression_obb(
+            pred,
+            num_classes=meta.nc,
+            conf_thres=conf_thres,
+            iou_thres=iou_thres,
+            max_candidates=max_candidates,
+            max_det=max_det,
+            multi_label=multi_label,
+        )
+        return dets, num
+
+    return predict
+
+
+def evaluate(
+    model,
+    variables,
+    meta,
+    dataset: DotaDataset,
+    batch_size: int = 8,
+    conf_thres: float = 0.01,
+    iou_thres: float = 0.4,
+    max_det: int = 1500,
+    verbose: bool = False,
+    save_json: str | None = None,
+    max_images: int | None = None,
+):
+    """Run HBB-metric evaluation over `dataset`.
+
+    Returns dict with mp, mr, map50, map, per-class ap, speed stats, and the
+    raw per-image detections (native-resolution polys) for downstream export.
+    """
+    names = dataset.names
+    iouv = np.linspace(0.5, 0.95, 10)
+    predict = make_predict_fn(
+        model, meta, conf_thres, iou_thres, max_det, multi_label=True
+    )
+
+    stats = []  # (tp, conf, cls, target_cls) per image
+    json_out = []
+    all_dets = []
+    n_img = len(dataset) if max_images is None else min(max_images, len(dataset))
+    t_infer = 0.0
+    imgsz = dataset.img_size
+
+    for start in range(0, n_img, batch_size):
+        idxs = list(range(start, min(start + batch_size, n_img)))
+        samples = [dataset.get_eval_sample(i) for i in idxs]
+        pad = batch_size - len(samples)
+        batch_imgs = np.stack([s["image"] for s in samples + [samples[-1]] * pad])
+
+        t0 = time.perf_counter()
+        dets, num = predict(variables, jnp.asarray(batch_imgs))
+        dets = np.asarray(jax.block_until_ready(dets))
+        num = np.asarray(num)
+        t_infer += time.perf_counter() - t0
+
+        for bi, s in enumerate(samples):
+            n = int(num[bi])
+            d = dets[bi, :n]  # (n, [cx cy l s theta conf cls])
+            h0, w0 = (int(v) for v in s["orig_hw"])
+
+            # predictions → native-res polys + hbb covers
+            polys = rbox2poly(d[:, :5]) if n else np.zeros((0, 8))
+            polys = scale_polys((imgsz, imgsz), polys, (h0, w0)) if n else polys
+            hbb = poly2hbb(polys) if n else np.zeros((0, 4))
+            det_xyxy = xywh2xyxy(hbb)
+            conf, cls = d[:, 5], d[:, 6]
+
+            # ground truth → native-res hbb
+            m = s["target_mask"]
+            gt = s["targets"][m]
+            gt_polys = rbox2poly(gt[:, 1:6]) if len(gt) else np.zeros((0, 8))
+            gt_polys = (
+                scale_polys((imgsz, imgsz), gt_polys, (h0, w0)) if len(gt) else gt_polys
+            )
+            gt_xyxy = xywh2xyxy(poly2hbb(gt_polys)) if len(gt) else np.zeros((0, 4))
+            gt_cls = gt[:, 0]
+
+            tp = process_batch_hbb(det_xyxy, conf, cls, gt_xyxy, gt_cls, iouv)
+            stats.append((tp, conf, cls, gt_cls))
+            all_dets.append(
+                {"path": dataset.img_files[s["index"]], "polys": polys, "conf": conf, "cls": cls}
+            )
+            if save_json is not None:
+                stem = Path(dataset.img_files[s["index"]]).stem
+                for k in range(n):
+                    b = hbb[k]
+                    json_out.append(
+                        {
+                            "image_id": stem,
+                            "category_id": int(cls[k]),
+                            "bbox": [round(float(v), 1) for v in b],
+                            "score": round(float(conf[k]), 5),
+                            "poly": [round(float(v), 1) for v in polys[k]],
+                            "file_name": stem,
+                        }
+                    )
+
+    tp = np.concatenate([s[0] for s in stats]) if stats else np.zeros((0, 10), bool)
+    conf = np.concatenate([s[1] for s in stats])
+    cls = np.concatenate([s[2] for s in stats])
+    tcls = np.concatenate([s[3] for s in stats])
+
+    if tp.size and tcls.size:
+        p, r, ap, f1, cls_idx = ap_per_class(tp, conf, cls, tcls)
+        ap50, ap_mean = ap[:, 0], ap.mean(1)
+        mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
+    else:
+        p = r = ap50 = ap_mean = np.zeros(0)
+        cls_idx = np.zeros(0, int)
+        mp = mr = map50 = map_ = 0.0
+
+    if save_json is not None:
+        Path(save_json).parent.mkdir(parents=True, exist_ok=True)
+        with open(save_json, "w") as f:
+            json.dump(json_out, f)
+
+    result = {
+        "mp": float(mp),
+        "mr": float(mr),
+        "map50": float(map50),
+        "map": float(map_),
+        "per_class": {
+            names[int(c)]: {"p": float(p[i]), "r": float(r[i]),
+                            "ap50": float(ap50[i]), "ap": float(ap_mean[i])}
+            for i, c in enumerate(cls_idx)
+        },
+        "speed_ms_per_img": 1000.0 * t_infer / max(n_img, 1),
+        "detections": all_dets,
+    }
+    if verbose:
+        print(
+            f"images={n_img}  P={mp:.3f} R={mr:.3f} "
+            f"HBBmAP@.5={map50:.4f} HBBmAP@.5:.95={map_:.4f} "
+            f"({result['speed_ms_per_img']:.1f} ms/img)"
+        )
+    return result
+
+
+def save_dota_task1(detections, names, out_dir):
+    """Write per-class Task1_<name>.txt files for the devkit merge step
+    (the output of reference tools/TestJson2VocClassTxt.py:29-48)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    files = {i: open(out / f"Task1_{n}.txt", "w") for i, n in enumerate(names)}
+    try:
+        for det in detections:
+            stem = Path(det["path"]).stem
+            for poly, conf, cls in zip(det["polys"], det["conf"], det["cls"]):
+                row = " ".join(f"{v:.1f}" for v in poly)
+                files[int(cls)].write(f"{stem} {conf:.5f} {row}\n")
+    finally:
+        for f in files.values():
+            f.close()

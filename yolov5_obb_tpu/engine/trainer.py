@@ -1,0 +1,136 @@
+"""Train state + pjit data-parallel train step.
+
+The reference's DDP/NCCL setup (train.py:202-252, 517-533) maps to a 1-D
+``data`` mesh: the batch is sharded across devices, parameters are
+replicated, and XLA inserts the gradient all-reduce — there is no explicit
+collective code.  The same step function runs single-chip (mesh of 1) and
+multi-chip unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .optim import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_updates: jax.Array  # int32
+    step: jax.Array  # int32
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(lambda x: x, params),
+        ema_updates=jnp.int32(0),
+        step=jnp.int32(0),
+    )
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data",
+              platform: str | None = None) -> Mesh:
+    """1-D data mesh. Falls back to the CPU backend (virtual host devices,
+    ``--xla_force_host_platform_device_count``) when the default platform
+    has fewer than ``n_devices`` — used by tests and the multi-chip dry run."""
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None and len(devs) < n_devices and platform is None:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devs = cpu
+        except RuntimeError:
+            pass
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(f"need {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def make_train_step(model, loss_fn, tx, use_ema: bool = True, mesh: Mesh | None = None):
+    """Build the jitted train step.
+
+    loss_fn(maps, targets, t_mask) -> (total, items[4]).
+    Batch: image uint8 (B,H,W,3), targets (B,M,186) f32, mask (B,M) bool.
+    """
+
+    def step_fn(state: TrainState, image, targets, t_mask):
+        x = image.astype(jnp.float32) / 255.0
+
+        def loss_of(params):
+            outs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, items = loss_fn(outs, targets, t_mask)
+            return total, (items, updates["batch_stats"])
+
+        (total, (items, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        if use_ema:
+            new_updates = state.ema_updates + 1
+            new_ema = ema_update(state.ema_params, new_params, new_updates)
+        else:
+            new_updates = state.ema_updates
+            new_ema = state.ema_params
+
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            ema_updates=new_updates,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": total, "items": items}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    bsh = batch_sharding(mesh)
+    rsh = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rsh, bsh, bsh, bsh),
+        out_shardings=(rsh, rsh),
+        donate_argnums=(0,),
+    )
+
+
+def put_batch(batch, mesh: Mesh | None):
+    """Host batch → device arrays (sharded over the data axis if mesh given)."""
+    arrs = (batch.image, batch.targets, batch.target_mask)
+    if mesh is None:
+        return tuple(jnp.asarray(a) for a in arrs)
+    sh = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sh) for a in arrs)
