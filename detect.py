@@ -44,6 +44,7 @@ def parse_opt():
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--nosave", action="store_true", help="skip annotated images")
     p.add_argument("--hide-conf", action="store_true")
+    p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--line-thickness", type=int, default=2)
     p.add_argument("--project", type=str, default="runs/detect")
     p.add_argument("--name", type=str, default="exp")
@@ -75,7 +76,8 @@ def run(opt):
         names = [str(i) for i in range(meta.nc)]
 
     predict = make_predict_fn(
-        model, meta, opt.conf_thres, opt.iou_thres, opt.max_det, multi_label=True
+        model, meta, opt.conf_thres, opt.iou_thres, opt.max_det, multi_label=True,
+        tta=getattr(opt, "augment", False),
     )
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)

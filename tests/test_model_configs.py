@@ -1,0 +1,37 @@
+"""Build every bundled model config (reference models/yolo.py --test smoke)."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from yolov5_obb_tpu.models.yolo import build_model, probe_strides
+
+CONFIG_DIR = Path(__file__).parent.parent / "yolov5_obb_tpu" / "models" / "configs"
+ALL_CONFIGS = sorted(p.name for p in CONFIG_DIR.glob("*.yaml"))
+
+
+@pytest.mark.parametrize("cfg", ALL_CONFIGS)
+def test_config_builds_and_probes(cfg):
+    model, meta, d = build_model(cfg, nc=15)
+    meta = probe_strides(model, meta, imgsz=128 if "p2" in cfg else 256)
+    assert meta.nl == meta.anchors_px.shape[0]
+    assert len(meta.strides) == meta.nl
+    assert all(s > 0 for s in meta.strides)
+    # stride ladder is strictly increasing
+    assert list(meta.strides) == sorted(meta.strides)
+    # abstract forward shape check at a second size
+    import jax.numpy as jnp
+
+    sz = 128
+    vars_shape = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.zeros((1, sz, sz, 3))
+    )
+    outs = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False),
+        vars_shape,
+        jnp.zeros((2, sz, sz, 3)),
+    )
+    for o, s in zip(outs, meta.strides):
+        assert o.shape == (2, sz // int(s), sz // int(s), meta.na, meta.no)

@@ -12,6 +12,7 @@ from yolov5_obb_tpu.engine.trainer import (
     make_mesh,
     make_train_step,
     put_batch,
+    put_state,
 )
 from yolov5_obb_tpu.models.yolo import create_model
 from yolov5_obb_tpu.ops.geometry import csl_gaussian_labels
@@ -84,9 +85,9 @@ def test_mesh_step_matches_single_device(rng):
     mesh1 = make_mesh(1, platform="cpu")
     assert mesh8.devices.size == 8
 
-    s1 = create_train_state(variables, tx)
+    s1 = put_state(create_train_state(variables, tx), mesh1)
     step1 = make_train_step(model, loss_fn, tx, mesh=mesh1)
-    s2 = create_train_state(variables, tx)
+    s2 = put_state(create_train_state(variables, tx), mesh8)
     step2 = make_train_step(model, loss_fn, tx, mesh=mesh8)
     batch = _B(img, targets, mask)
 

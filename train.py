@@ -31,6 +31,7 @@ from yolov5_obb_tpu.engine.trainer import (
     make_mesh,
     make_train_step,
     put_batch,
+    put_state,
 )
 from yolov5_obb_tpu.models.yolo import create_model
 from yolov5_obb_tpu.utils.checkpoint import (
@@ -69,6 +70,7 @@ def parse_opt():
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
+    p.add_argument("--evolve", type=int, default=0, help="hyp-evolution generations")
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--project", type=str, default="runs/train")
     p.add_argument("--name", type=str, default="exp")
@@ -76,12 +78,12 @@ def parse_opt():
     return p.parse_args()
 
 
-def run(opt):
+def run(opt, hyp_override: dict | None = None):
     import jax.numpy as jnp
 
     init_seeds(opt.seed)
     d = load_dataset_config(opt.data)
-    hyp = load_hyp(opt.hyp)
+    hyp = hyp_override or load_hyp(opt.hyp)
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     print(f"run dir: {save_dir}; devices: {jax.devices()}")
 
@@ -139,6 +141,7 @@ def run(opt):
         start_epoch = int(ckpt_meta.get("epoch", 0)) + 1
         best_fit = float(ckpt_meta.get("best_fitness", -1.0))
         print(f"resumed from {opt.resume} at epoch {start_epoch}")
+    state = put_state(state, mesh)
     step_fn = make_train_step(model, loss_fn, tx, mesh=mesh)
 
     # --- loop ----------------------------------------------------------
@@ -223,5 +226,35 @@ def run(opt):
     return save_dir, best_fit
 
 
+def evolve(opt):
+    """Hyp-evolution driver (reference train.py:536-620)."""
+    import numpy as np
+
+    from yolov5_obb_tpu.engine.evolve import log_generation, mutate, read_population
+
+    base_hyp = load_hyp(opt.hyp)
+    evolve_dir = increment_path(Path(opt.project) / f"{opt.name}_evolve",
+                                exist_ok=opt.exist_ok)
+    evolve_csv = evolve_dir / "evolve.csv"
+    rng = np.random.default_rng(opt.seed)
+    gens = opt.evolve
+    opt.evolve = 0
+    opt.exist_ok = True
+    opt.nosave = True
+    for gen in range(gens):
+        parents = read_population(evolve_csv)
+        hyp = mutate(base_hyp, rng, parents or None)
+        opt.name = f"gen{gen}"
+        opt.project = str(evolve_dir)
+        _, fit = run(opt, hyp_override=hyp)
+        log_generation(evolve_csv, hyp, {"map50": 0.0, "map": 0.0}, fit)
+        print(f"evolve gen {gen}: fitness {fit:.4f}")
+    print(f"evolution complete → {evolve_csv}")
+
+
 if __name__ == "__main__":
-    run(parse_opt())
+    _opt = parse_opt()
+    if _opt.evolve:
+        evolve(_opt)
+    else:
+        run(_opt)

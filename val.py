@@ -35,6 +35,7 @@ def parse_opt():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--save-json", action="store_true")
     p.add_argument("--save-task1", action="store_true", help="per-class Task1 txts for devkit merge")
+    p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--hyp", type=str, default=None)
     p.add_argument("--project", type=str, default="runs/val")
     p.add_argument("--name", type=str, default="exp")
@@ -68,7 +69,7 @@ def run(opt):
     res = evaluate(
         model, variables, meta, dataset, batch_size=opt.batch_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
-        verbose=True,
+        verbose=True, tta=getattr(opt, "augment", False),
         save_json=str(save_dir / "best_obb_predictions.json") if opt.save_json else None,
         max_images=opt.max_images,
     )

@@ -1,0 +1,146 @@
+"""High-level convenience API (reference AutoShape/Detections + hubconf).
+
+    import yolov5_obb_tpu as yo
+    model = yo.api.load("yolov5m.yaml", weights="runs/train/exp/best",
+                        names=DOTA_V1_NAMES)
+    results = model(["img1.png", np_array, ...])   # any mix of inputs
+    results.pandas()        # per-image DataFrames
+    results.save("out/")    # annotated images
+
+Unlike the reference's AutoShape (models/common.py:439-524), the OBB NMS
+path is fully wired (the reference still calls the HBB NMS there)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .data.augment import letterbox
+from .engine.evaluator import make_predict_fn
+from .models.yolo import create_model
+from .ops.geometry import rbox2poly, scale_polys
+from .utils.checkpoint import load_weights
+from .utils.plots import annotate_detections
+
+
+class Detections:
+    """Per-image oriented detections (reference models/common.py:527-625)."""
+
+    def __init__(self, imgs, polys, confs, clses, names, paths):
+        self.imgs = imgs  # BGR np arrays
+        self.polys = polys  # list of (n, 8)
+        self.confs = confs
+        self.clses = clses
+        self.names = names
+        self.paths = paths
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def pandas(self):
+        import pandas as pd
+
+        out = []
+        for polys, confs, clses in zip(self.polys, self.confs, self.clses):
+            rows = []
+            for p, c, k in zip(polys, confs, clses):
+                rows.append(
+                    {
+                        **{f"{ax}{i+1}": float(p[2 * i + j]) for i in range(4)
+                           for j, ax in enumerate("xy")},
+                        "confidence": float(c),
+                        "class": int(k),
+                        "name": self.names[int(k)] if self.names else str(int(k)),
+                    }
+                )
+            out.append(pd.DataFrame(rows))
+        return out
+
+    def render(self):
+        for img, polys, confs, clses in zip(self.imgs, self.polys, self.confs, self.clses):
+            annotate_detections(img, polys, confs, clses, self.names)
+        return self.imgs
+
+    def save(self, save_dir="runs/hub"):
+        import cv2
+
+        d = Path(save_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        self.render()
+        for i, img in enumerate(self.imgs):
+            name = Path(self.paths[i]).name if self.paths[i] else f"image{i}.jpg"
+            cv2.imwrite(str(d / name), img)
+        return d
+
+    def print(self):
+        for i, polys in enumerate(self.polys):
+            print(f"image {i}: {len(polys)} detections")
+
+
+class OBBModel:
+    """Callable wrapper: arbitrary image inputs → Detections."""
+
+    def __init__(self, cfg="yolov5m.yaml", weights: str | None = None,
+                 names=None, imgsz: int = 1024, conf_thres: float = 0.25,
+                 iou_thres: float = 0.45, max_det: int = 1000, dtype=None):
+        import jax.numpy as jnp
+
+        self.imgsz = imgsz
+        self.model, self.variables, self.meta = create_model(
+            cfg, nc=len(names) if names else None,
+            dtype=dtype or jnp.float32, imgsz=imgsz,
+        )
+        if weights:
+            self.variables, wmeta = load_weights(weights)
+            names = names or wmeta.get("names")
+        self.names = list(names) if names else [str(i) for i in range(self.meta.nc)]
+        self.predict = make_predict_fn(
+            self.model, self.meta, conf_thres, iou_thres, max_det, multi_label=False
+        )
+
+    def _to_bgr(self, im):
+        import cv2
+
+        if isinstance(im, (str, Path)):
+            img = cv2.imread(str(im))
+            if img is None:
+                raise FileNotFoundError(im)
+            return img, str(im)
+        arr = np.asarray(im)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        return arr[..., :3].astype(np.uint8), None
+
+    def __call__(self, inputs):
+        import jax.numpy as jnp
+
+        single = not isinstance(inputs, (list, tuple))
+        if single:
+            inputs = [inputs]
+        imgs, paths = zip(*(self._to_bgr(im) for im in inputs))
+
+        batch = []
+        for im in imgs:
+            lb, _, _ = letterbox(im, self.imgsz, auto=False, scaleup=False)
+            batch.append(np.ascontiguousarray(lb[:, :, ::-1]))
+        x = jnp.asarray(np.stack(batch))
+        dets, num = self.predict(self.variables, x)
+        dets, num = np.asarray(dets), np.asarray(num)
+
+        polys_l, confs_l, clses_l = [], [], []
+        for i, im in enumerate(imgs):
+            n = int(num[i])
+            d = dets[i, :n]
+            polys = rbox2poly(d[:, :5]) if n else np.zeros((0, 8))
+            if n:
+                polys = scale_polys((self.imgsz, self.imgsz), polys, im.shape[:2])
+            polys_l.append(polys)
+            confs_l.append(d[:, 5])
+            clses_l.append(d[:, 6])
+        return Detections(list(imgs), polys_l, confs_l, clses_l, self.names, list(paths))
+
+
+def load(cfg="yolov5m.yaml", weights=None, **kw) -> OBBModel:
+    """hubconf-style one-liner (reference hubconf.py:14-66)."""
+    return OBBModel(cfg=cfg, weights=weights, **kw)

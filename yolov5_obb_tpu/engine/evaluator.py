@@ -24,14 +24,20 @@ from ..utils.metrics import ap_per_class, process_batch_hbb
 
 
 def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=True,
-                    max_candidates=4096):
-    """Jitted image→detections function; shared by val/detect."""
+                    max_candidates=4096, tta: bool = False):
+    """Jitted image→detections function; shared by val/detect.
+    ``tta`` enables multi-scale + flip augmented inference."""
 
     @jax.jit
     def predict(variables, image_u8):
         x = image_u8.astype(jnp.float32) / 255.0
-        maps = model.apply(variables, x, train=False)
-        pred = decode(maps, meta)
+        if tta:
+            from ..models.tta import predict_tta
+
+            pred = predict_tta(model, variables, meta, x)
+        else:
+            maps = model.apply(variables, x, train=False)
+            pred = decode(maps, meta)
         dets, num = non_max_suppression_obb(
             pred,
             num_classes=meta.nc,
@@ -58,6 +64,7 @@ def evaluate(
     verbose: bool = False,
     save_json: str | None = None,
     max_images: int | None = None,
+    tta: bool = False,
 ):
     """Run HBB-metric evaluation over `dataset`.
 
@@ -67,7 +74,7 @@ def evaluate(
     names = dataset.names
     iouv = np.linspace(0.5, 0.95, 10)
     predict = make_predict_fn(
-        model, meta, conf_thres, iou_thres, max_det, multi_label=True
+        model, meta, conf_thres, iou_thres, max_det, multi_label=True, tta=tta
     )
 
     stats = []  # (tp, conf, cls, target_cls) per image

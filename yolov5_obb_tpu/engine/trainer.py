@@ -36,7 +36,9 @@ def create_train_state(variables, tx) -> TrainState:
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(lambda x: x, params),
+        # a real copy: params and ema_params must not alias (the train step
+        # donates the whole state; aliased buffers → "donated twice")
+        ema_params=jax.tree.map(jnp.copy, params),
         ema_updates=jnp.int32(0),
         step=jnp.int32(0),
     )
@@ -125,6 +127,13 @@ def make_train_step(model, loss_fn, tx, use_ema: bool = True, mesh: Mesh | None 
         out_shardings=(rsh, rsh),
         donate_argnums=(0,),
     )
+
+
+def put_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place the train state replicated on the mesh.  Required before the
+    first sharded step: donating buffers that simultaneously need an
+    automatic single-device→mesh reshard can deadlock the runtime."""
+    return jax.device_put(state, replicated(mesh))
 
 
 def put_batch(batch, mesh: Mesh | None):

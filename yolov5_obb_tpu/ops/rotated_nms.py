@@ -25,38 +25,80 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .rotated_iou import pairwise_rotated_iou
+from .rotated_iou import rotated_iou
 
 PI = 3.141592653589793
 
 
-def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None):
-    """Greedy rotated NMS over static-shaped inputs.
+def _hbb_cover(rboxes):
+    """Axis-aligned cover (x1 y1 x2 y2) of rboxes — closed form, no vertices."""
+    cx, cy, l, s, t = (rboxes[..., i] for i in range(5))
+    ct, st = jnp.abs(jnp.cos(t)), jnp.abs(jnp.sin(t))
+    w = l * ct + s * st
+    h = l * st + s * ct
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+def _hbb_iou_matrix(hbb):
+    """(n,4) xyxy → (n,n) IoU."""
+    a1 = jnp.maximum(hbb[:, None, :2], hbb[None, :, :2])
+    a2 = jnp.minimum(hbb[:, None, 2:], hbb[None, :, 2:])
+    inter = jnp.clip(a2 - a1, 0).prod(-1)
+    area = jnp.clip(hbb[:, 2:] - hbb[:, :2], 0).prod(-1)
+    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+
+
+def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
+                max_neighbors: int = 64):
+    """Greedy rotated NMS over static-shaped inputs — sparse exact algorithm.
+
+    A dense n×n exact rotated-IoU matrix materialises n²·24-point clip
+    buffers (34 GB at n=2048, b=16 — see the CUDA kernel it replaces,
+    nms_rotated_cuda.cu:13-68, which streams 64-box tiles for the same
+    reason).  Instead:
+
+    1. cheap n×n IoU of the boxes' axis-aligned covers (a necessary
+       condition: rotated IoU > 0 ⇒ cover IoU > 0);
+    2. per box, the top-``max_neighbors`` most-cover-overlapping
+       *higher-scored* same-class boxes (sparse suppression graph);
+    3. exact rotated IoU only on those n×M pairs;
+    4. greedy resolution as a fixed-point sweep over the sparse graph
+       (any fixed point of ``alive[j] = ¬∃ i→j : alive[i]`` in score order
+       is the unique greedy solution).
 
     Args:
         rboxes: ``(n, 5)`` ``[cx cy l s theta]``; padding rows allowed.
         scores: ``(n,)``; padding / invalid boxes must carry score <= 0.
         iou_thr: suppression threshold.
         class_ids: optional ``(n,)`` int; suppression only within a class.
+        max_neighbors: sparse-graph degree cap (exact as long as no box has
+            more overlapping higher-scored neighbours than this).
 
     Returns:
         keep: ``(n,)`` bool mask of surviving boxes (in input order).
     """
     n = scores.shape[0]
+    M = min(max_neighbors, n)
     order = jnp.argsort(-scores)
     b = rboxes[order]
     s = scores[order]
+    valid = s > 0
 
-    iou = pairwise_rotated_iou(b, b)
-    tri = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)  # i < j in score order
-    sup = (iou > iou_thr) & tri
+    hiou = _hbb_iou_matrix(_hbb_cover(b))  # (n, n)
+    tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [j, i]: i<j in score
+    edge_ok = tri & valid[None, :] & valid[:, None]
     if class_ids is not None:
         c = class_ids[order]
-        sup = sup & (c[:, None] == c[None, :])
-    sup = sup & (s[:, None] > 0)  # padding rows never suppress
-    supf = sup.astype(jnp.float32)
+        edge_ok = edge_ok & (c[:, None] == c[None, :])
+    cand = jnp.where(edge_ok, hiou, -1.0)  # (n_j, n_i)
 
-    valid = s > 0
+    nbr_iou, nbr_idx = jax.lax.top_k(cand, M)  # (n, M): best higher-scored overlaps
+    nbr_valid = nbr_iou > 0.0
+
+    # exact rotated IoU on the sparse pairs only
+    pair_b = b[nbr_idx]  # (n, M, 5)
+    riou = rotated_iou(b[:, None, :], pair_b)  # (n, M)
+    sup_in = nbr_valid & (riou > iou_thr)  # j suppressed-by-edge from nbr_idx[j,m]
 
     def cond(state):
         alive, prev, it = state
@@ -64,15 +106,13 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None):
 
     def body(state):
         alive, _, it = state
-        hit = jnp.einsum("i,ij->j", alive.astype(jnp.float32), supf) > 0.5
+        hit = jnp.any(sup_in & alive[nbr_idx], axis=-1)
         return (valid & ~hit, alive, it + 1)
 
     alive0 = valid
     alive, _, _ = jax.lax.while_loop(cond, body, (alive0, ~alive0, jnp.int32(0)))
 
-    # map back to input order
-    keep_sorted = alive
-    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    keep = jnp.zeros_like(alive).at[order].set(alive)
     return keep
 
 

@@ -1,0 +1,68 @@
+"""Training loggers: CSV / TensorBoard / Weights & Biases fan-out.
+
+Counterpart of reference utils/loggers/__init__.py:37-175 with the same
+metric key schema (incl. ``train/theta_loss`` and ``metrics/HBBmAP.5``).
+TensorBoard uses tf.summary; W&B activates only if wandb is importable.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+LOSS_KEYS = ("train/box_loss", "train/obj_loss", "train/cls_loss", "train/theta_loss")
+METRIC_KEYS = (
+    "metrics/precision", "metrics/recall", "metrics/HBBmAP.5",
+    "metrics/HBBmAP.5:.95",
+)
+LR_KEY = "x/lr0"
+
+
+class Loggers:
+    def __init__(self, save_dir, include=("csv", "tb"), hyp=None, opt=None):
+        self.save_dir = Path(save_dir)
+        self.csv_path = self.save_dir / "results.csv"
+        self.keys = [*LOSS_KEYS, *METRIC_KEYS, "fitness", LR_KEY]
+        self.tb = None
+        self.wandb = None
+
+        if "tb" in include:
+            try:
+                import tensorflow as tf
+
+                self.tb = tf.summary.create_file_writer(str(self.save_dir / "tb"))
+            except Exception:
+                self.tb = None
+        if "wandb" in include:
+            try:
+                import wandb
+
+                self.wandb = wandb.init(
+                    project="yolov5_obb_tpu", dir=str(self.save_dir),
+                    config={"hyp": hyp, "opt": vars(opt) if opt else None},
+                )
+            except Exception:
+                self.wandb = None
+
+    def log_epoch(self, epoch: int, values: dict):
+        """values keyed by self.keys (missing → 0)."""
+        row = {k: float(values.get(k, 0.0)) for k in self.keys}
+        new = not self.csv_path.exists()
+        with open(self.csv_path, "a", newline="") as f:
+            w = csv.writer(f)
+            if new:
+                w.writerow(["epoch", *self.keys])
+            w.writerow([epoch, *(f"{row[k]:.6f}" for k in self.keys)])
+        if self.tb is not None:
+            import tensorflow as tf
+
+            with self.tb.as_default():
+                for k, v in row.items():
+                    tf.summary.scalar(k, v, step=epoch)
+                self.tb.flush()
+        if self.wandb is not None:
+            self.wandb.log(row, step=epoch)
+
+    def finish(self):
+        if self.wandb is not None:
+            self.wandb.finish()
