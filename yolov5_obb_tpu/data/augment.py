@@ -193,3 +193,135 @@ def mosaic4(load_fn, indices, img_size: int, rng: np.random.Generator, hyp: dict
         border=border,
     )
     return img4, polys4, cls4
+
+
+def mosaic9(load_fn, indices, img_size: int, rng: np.random.Generator, hyp: dict):
+    """9-image mosaic (reference datasets.py:788-874)."""
+    s = img_size
+    tiles = [load_fn(i) for i in indices]  # 9 x (img, polys, cls)
+    img9 = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+    polys9, cls9 = [], []
+    hp = wp = 0
+    h0 = w0 = 0
+    for i, (img, polys, cls) in enumerate(tiles):
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[0], c[1]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        img9[y1:y2, x1:x2] = img[y1 - padh :, x1 - padw :][: y2 - y1, : x2 - x1]
+        hp, wp = h, w
+        if len(polys):
+            p = polys.copy()
+            p[:, 0::2] += padw
+            p[:, 1::2] += padh
+            polys9.append(p)
+            cls9.append(cls)
+
+    # crop the center s*2 region at a random offset (reference :858-866)
+    yc = int(rng.uniform(0, s))
+    xc = int(rng.uniform(0, s))
+    img9 = img9[yc : yc + 2 * s, xc : xc + 2 * s]
+    if polys9:
+        polys9 = np.concatenate(polys9, 0)
+        cls9 = np.concatenate(cls9, 0)
+        polys9[:, 0::2] -= xc
+        polys9[:, 1::2] -= yc
+        keep = poly_filter(polys9, h=2 * s, w=2 * s)
+        polys9, cls9 = polys9[keep], cls9[keep]
+    else:
+        polys9 = np.zeros((0, 8), np.float32)
+        cls9 = np.zeros((0,), np.float32)
+
+    return random_perspective(
+        img9, polys9, cls9, rng,
+        degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+        scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+        perspective=hyp.get("perspective", 0.0), border=(-s // 2, -s // 2),
+    )
+
+
+def copy_paste(img, polys, cls, rng: np.random.Generator, p: float = 0.0):
+    """Copy-paste augmentation for OBB: flip object patches horizontally and
+    paste where they don't collide (reference augmentations.py:225-246,
+    adapted from segments to polygon masks)."""
+    if p <= 0 or not len(polys):
+        return img, polys, cls
+    h, w = img.shape[:2]
+    n = max(1, int(len(polys) * p))
+    from ..ops.geometry import poly2hbb
+
+    hbb = poly2hbb(polys)
+    new_polys, new_cls = [polys], [cls]
+    for j in rng.permutation(len(polys))[:n]:
+        flipped = polys[j].copy()
+        flipped[0::2] = w - flipped[0::2]
+        fx, fy = flipped[0::2], flipped[1::2]
+        # skip if the mirrored location overlaps an existing box cover
+        bx1, bx2 = fx.min(), fx.max()
+        by1, by2 = fy.min(), fy.max()
+        ox1 = np.maximum(hbb[:, 0] - hbb[:, 2] / 2, bx1)
+        ox2 = np.minimum(hbb[:, 0] + hbb[:, 2] / 2, bx2)
+        oy1 = np.maximum(hbb[:, 1] - hbb[:, 3] / 2, by1)
+        oy2 = np.minimum(hbb[:, 1] + hbb[:, 3] / 2, by2)
+        inter = np.clip(ox2 - ox1, 0, None) * np.clip(oy2 - oy1, 0, None)
+        if (inter > 0.3 * (bx2 - bx1) * (by2 - by1)).any():
+            continue
+        src = polys[j].reshape(4, 2).astype(np.int32)
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [src], 1)
+        patch = cv2.flip(img, 1)
+        mflip = cv2.flip(mask, 1).astype(bool)
+        img[mflip] = patch[mflip]
+        new_polys.append(flipped[None])
+        new_cls.append(cls[j : j + 1])
+    return img, np.concatenate(new_polys, 0), np.concatenate(new_cls, 0)
+
+
+def cutout(img, polys, cls, rng: np.random.Generator, p: float = 0.5):
+    """Random occlusion squares; drops boxes that become mostly hidden
+    (reference augmentations.py:249-273)."""
+    if rng.random() >= p:
+        return img, polys, cls
+    h, w = img.shape[:2]
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    from ..ops.geometry import poly2hbb, xywh2xyxy
+
+    for s in scales:
+        mh, mw = int(rng.uniform(0.02, s) * h), int(rng.uniform(0.02, s) * w)
+        xmin = max(0, int(rng.uniform(0, w)) - mw // 2)
+        ymin = max(0, int(rng.uniform(0, h)) - mh // 2)
+        xmax = min(w, xmin + mw)
+        ymax = min(h, ymin + mh)
+        img[ymin:ymax, xmin:xmax] = rng.integers(64, 191, 3, dtype=np.uint8)
+        if len(polys):
+            box = np.array([xmin, ymin, xmax, ymax], np.float64)
+            bb = xywh2xyxy(poly2hbb(polys))
+            ix1 = np.maximum(bb[:, 0], box[0])
+            iy1 = np.maximum(bb[:, 1], box[1])
+            ix2 = np.minimum(bb[:, 2], box[2])
+            iy2 = np.minimum(bb[:, 3], box[3])
+            inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+            area = np.clip(bb[:, 2] - bb[:, 0], 1e-9, None) * np.clip(
+                bb[:, 3] - bb[:, 1], 1e-9, None
+            )
+            keep = inter / area < 0.6
+            polys, cls = polys[keep], cls[keep]
+    return img, polys, cls

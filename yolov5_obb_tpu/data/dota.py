@@ -213,14 +213,21 @@ class DotaDataset:
         hyp = self.hyp
         use_mosaic = self.augment and rng.random() < hyp.get("mosaic", 0.0)
         if use_mosaic:
-            idxs = [index] + list(rng.integers(0, len(self), 3))
+            use9 = rng.random() < hyp.get("mosaic9", 0.0)
+            k = 8 if use9 else 3
+            idxs = [index] + list(rng.integers(0, len(self), k))
             rng.shuffle(idxs)
 
             def load(i):
                 img, polys, cls, _ = self.load_image(i)
                 return img, polys, cls
 
-            img, polys, cls = A.mosaic4(load, idxs, self.img_size, rng, hyp)
+            mosaic_fn = A.mosaic9 if use9 else A.mosaic4
+            img, polys, cls = mosaic_fn(load, idxs, self.img_size, rng, hyp)
+            if hyp.get("copy_paste", 0.0) > 0:
+                img, polys, cls = A.copy_paste(
+                    img, polys, cls, rng, p=hyp["copy_paste"]
+                )
             if rng.random() < hyp.get("mixup", 0.0):
                 j = int(rng.integers(0, len(self)))
                 jdxs = [j] + list(rng.integers(0, len(self), 3))

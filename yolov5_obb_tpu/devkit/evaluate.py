@@ -73,6 +73,14 @@ def _poly_iou_max(det_poly, gt_polys):
     iw = np.minimum(gx.max(1), dx.max()) - np.maximum(gx.min(1), dx.min())
     ih = np.minimum(gy.max(1), dy.max()) - np.maximum(gy.min(1), dy.min())
     cand = np.where((iw > 0) & (ih > 0))[0]
+    if len(cand) == 0:
+        return 0.0, -1
+    from ..native import poly_overlaps_native
+
+    mat = poly_overlaps_native(det_poly[None], gt_polys[cand])
+    if mat is not None:
+        j = int(np.argmax(mat[0]))
+        return float(mat[0, j]), int(cand[j])
     best, best_j = 0.0, -1
     for j in cand:
         v = poly_iou(det_poly, gt_polys[j])

@@ -34,11 +34,21 @@ def parse_tile_name(name: str):
     return m.group(1), float(m.group(2)), int(m.group(3)), int(m.group(4))
 
 
-def poly_nms_np(polys: np.ndarray, scores: np.ndarray, thresh: float):
-    """Greedy polygon NMS with HBB prefilter (reference :62-123). Returns keep idx."""
+def poly_nms_np(polys: np.ndarray, scores: np.ndarray, thresh: float,
+                use_native: bool = True):
+    """Greedy polygon NMS with HBB prefilter (reference :62-123). Returns keep idx.
+
+    Dispatches to the C++ extension (native/polyiou.cpp) when available —
+    the counterpart of the reference's C++/CUDA poly-NMS backends."""
     n = len(scores)
     if n == 0:
         return []
+    if use_native:
+        from ..native import poly_nms_native
+
+        keep = poly_nms_native(polys, scores, thresh)
+        if keep is not None:
+            return keep
     x = polys[:, 0::2]
     y = polys[:, 1::2]
     x1, x2 = x.min(1), x.max(1)

@@ -94,19 +94,34 @@ def _intersection_points(pa, pb):
 
 
 def _convex_area(points, mask):
-    """Area of the convex hull of masked points via angular sort + shoelace."""
+    """Area of the convex hull of masked points: angular order + shoelace.
+
+    TPU note: the angular ordering is computed as a *comparison-matrix rank*
+    (24x24 boolean ops + a one-hot contraction) instead of ``argsort`` —
+    XLA's sort lowers to an expensive generic sort on TPU, while the rank
+    formulation stays on the VPU/MXU (this kernel runs on millions of box
+    pairs inside NMS)."""
+    K = points.shape[-2]
     n = jnp.sum(mask, axis=-1)  # (...,)
     w = mask[..., None].astype(points.dtype)
     centre = jnp.sum(points * w, axis=-2) / jnp.maximum(n, 1)[..., None]
     rel = points - centre[..., None, :]
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(mask, ang, 10.0)  # invalid points sort to the end
-    order = jnp.argsort(ang, axis=-1)
-    sorted_pts = jnp.take_along_axis(points, order[..., None], axis=-2)
-    sorted_mask = jnp.take_along_axis(mask, order, axis=-1)
-    # collapse invalid tail onto the first (valid) point → zero-length edges
-    first = sorted_pts[..., 0:1, :]
-    ring = jnp.where(sorted_mask[..., None], sorted_pts, first)
+    ang = jnp.where(mask, ang, 10.0)  # invalid points order to the end
+
+    # rank[i] = #points strictly before i (index tiebreak → a permutation)
+    idx = jnp.arange(K)
+    a_i = ang[..., :, None]
+    a_j = ang[..., None, :]
+    before = (a_j < a_i) | ((a_j == a_i) & (idx[None, :] < idx[:, None]))
+    rank = jnp.sum(before, axis=-1)  # (..., K) ints in [0, K)
+
+    # ordered ring via one-hot gather: ring[k] = points[rank == k]
+    onehot = jax.nn.one_hot(rank, K, dtype=points.dtype, axis=-1)  # (..., K_i, K_k)
+    ring = jnp.einsum("...ik,...id->...kd", onehot, points)
+    # collapse the invalid tail (k >= n) onto ring[0] → zero-length edges
+    valid_k = idx < n[..., None]
+    ring = jnp.where(valid_k[..., None], ring, ring[..., 0:1, :])
     nxt = jnp.roll(ring, -1, axis=-2)
     area2 = jnp.sum(ring[..., 0] * nxt[..., 1] - ring[..., 1] * nxt[..., 0], axis=-1)
     area = 0.5 * jnp.abs(area2)

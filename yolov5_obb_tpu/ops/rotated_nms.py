@@ -49,7 +49,7 @@ def _hbb_iou_matrix(hbb):
 
 
 def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
-                max_neighbors: int = 64):
+                max_neighbors: int = 64, approx_topk: bool = False):
     """Greedy rotated NMS over static-shaped inputs — sparse exact algorithm.
 
     A dense n×n exact rotated-IoU matrix materialises n²·24-point clip
@@ -92,7 +92,12 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         edge_ok = edge_ok & (c[:, None] == c[None, :])
     cand = jnp.where(edge_ok, hiou, -1.0)  # (n_j, n_i)
 
-    nbr_iou, nbr_idx = jax.lax.top_k(cand, M)  # (n, M): best higher-scored overlaps
+    if approx_topk:
+        # TPU-optimized approximate top-k (recall ~0.95 per row) — a missed
+        # edge only risks keeping an extra near-duplicate box
+        nbr_iou, nbr_idx = jax.lax.approx_max_k(cand, M)
+    else:
+        nbr_iou, nbr_idx = jax.lax.top_k(cand, M)  # (n, M)
     nbr_valid = nbr_iou > 0.0
 
     # exact rotated IoU on the sparse pairs only

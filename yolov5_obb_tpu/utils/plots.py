@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import cv2
 import numpy as np
 
@@ -39,3 +41,84 @@ def annotate_detections(img, polys, confs, clses, names, line_width=2, hide_conf
         label = name if hide_conf else f"{name} {conf:.2f}"
         draw_poly(img, poly, label, class_color(int(c)), line_width)
     return img
+
+
+def plot_pr_curve(px, py, ap, save_path, names=()):
+    """PR curves per class (reference metrics.py:305-325)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.stack(py, axis=1) if isinstance(py, list) else py
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py.T):
+            ax.plot(px, y, linewidth=1, label=f"{names[i]} {ap[i, 0]:.3f}")
+    else:
+        ax.plot(px, py, linewidth=1, color="grey")
+    ax.plot(px, py.mean(1), linewidth=3, color="blue",
+            label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+
+
+def plot_results(csv_path, save_path=None):
+    """Loss/metric curves from results.csv (reference plots.py:442-466)."""
+    import csv as _csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    if not rows:
+        return None
+    keys = [k for k in rows[0].keys() if k not in ("epoch", "time_s")]
+    epochs = [int(r["epoch"]) for r in rows]
+    n = len(keys)
+    cols = 5
+    rows_n = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows_n, cols, figsize=(3 * cols, 2.5 * rows_n),
+                             tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for i, k in enumerate(keys):
+        vals = [float(r[k]) for r in rows]
+        axes[i].plot(epochs, vals, marker=".")
+        axes[i].set_title(k, fontsize=8)
+    for ax in axes[n:]:
+        ax.axis("off")
+    save_path = save_path or str(Path(csv_path).with_name("results.png"))
+    fig.savefig(save_path, dpi=200)
+    plt.close(fig)
+    return save_path
+
+
+def plot_labels(rboxes, classes, names, save_dir):
+    """Label distribution plots (reference plots.py:392-440, simplified)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 8), tight_layout=True)
+    axes[0, 0].hist(classes, bins=max(int(classes.max()) + 1 if len(classes) else 1, 1))
+    axes[0, 0].set_title("classes")
+    if len(rboxes):
+        axes[0, 1].scatter(rboxes[:, 0], rboxes[:, 1], s=2, alpha=0.3)
+        axes[0, 1].set_title("centers xy")
+        axes[1, 0].scatter(rboxes[:, 2], rboxes[:, 3], s=2, alpha=0.3)
+        axes[1, 0].set_title("l vs s")
+        axes[1, 1].hist(rboxes[:, 4] * 180 / np.pi, bins=36)
+        axes[1, 1].set_title("theta (deg)")
+    out = Path(save_dir) / "labels.png"
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
