@@ -1,0 +1,32 @@
+"""Pallas sparse rotated IoU vs the XLA implementation (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from yolov5_obb_tpu.ops.pallas.iou_kernel import pairs_rotated_iou, sparse_rotated_iou
+from yolov5_obb_tpu.ops.rotated_iou import rotated_iou
+
+
+def _random_rboxes(rng, n, spread=200.0):
+    cx = rng.uniform(-spread, spread, n)
+    cy = rng.uniform(-spread, spread, n)
+    l = rng.uniform(5, 120, n)
+    s = l * rng.uniform(0.2, 1.0, n)
+    t = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    return np.stack([cx, cy, l, s, t], -1).astype(np.float32)
+
+
+def test_pairs_matches_xla(rng):
+    a = _random_rboxes(rng, 300, spread=80.0)
+    b = _random_rboxes(rng, 300, spread=80.0)
+    got = np.asarray(pairs_rotated_iou(a, b, block=256))
+    want = np.asarray(rotated_iou(a, b))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_sparse_wrapper(rng):
+    boxes = _random_rboxes(rng, 64, spread=60.0)
+    idx = rng.integers(0, 64, (64, 8)).astype(np.int32)
+    got = np.asarray(sparse_rotated_iou(boxes, idx, block=256))
+    want = np.asarray(rotated_iou(boxes[:, None, :], boxes[idx]))
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -85,9 +85,13 @@ def test_mesh_step_matches_single_device(rng):
     mesh1 = make_mesh(1, platform="cpu")
     assert mesh8.devices.size == 8
 
-    s1 = put_state(create_train_state(variables, tx), mesh1)
+    # independent copies: the steps donate their state, and device_put to an
+    # already-matching placement aliases instead of copying
+    v1 = jax.tree.map(jnp.copy, variables)
+    v2 = jax.tree.map(jnp.copy, variables)
+    s1 = put_state(create_train_state(v1, tx), mesh1)
     step1 = make_train_step(model, loss_fn, tx, mesh=mesh1)
-    s2 = put_state(create_train_state(variables, tx), mesh8)
+    s2 = put_state(create_train_state(v2, tx), mesh8)
     step2 = make_train_step(model, loss_fn, tx, mesh=mesh8)
     batch = _B(img, targets, mask)
 

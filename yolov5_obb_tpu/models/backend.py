@@ -1,0 +1,76 @@
+"""Multi-backend inference loader (reference DetectMultiBackend,
+models/common.py:277-437).
+
+Backends:
+* ``orbax``      — native weights dir (+ model config) → jitted JAX fn
+* ``stablehlo``  — a serialized ``jax.export`` artifact (.stablehlo)
+* ``saved_model``— a TF SavedModel dir (from export.py / jax2tf)
+
+All return a callable ``fn(image_f32 (B,H,W,3)) → (B, n_anchors, no)``
+decoded predictions, plus metadata.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+class MultiBackend:
+    def __init__(self, path: str, cfg: str | None = None, nc: int | None = None,
+                 imgsz: int = 1024):
+        import jax.numpy as jnp
+
+        p = Path(path)
+        self.kind = self._sniff(p)
+        self.names = None
+        if self.kind == "stablehlo":
+            from jax import export as jexport
+
+            exported = jexport.deserialize(p.read_bytes())
+            self._fn = exported.call
+        elif self.kind == "saved_model":
+            import tensorflow as tf
+
+            mod = tf.saved_model.load(str(p))
+            tf_f = mod.f
+
+            def call(x):
+                import numpy as np
+
+                return jnp.asarray(tf_f(tf.constant(np.asarray(x))).numpy())
+
+            self._fn = call
+        else:  # orbax weights
+            import jax
+
+            from ..utils.checkpoint import load_weights
+            from .yolo import create_model, decode
+
+            model, variables, meta = create_model(cfg or "yolov5m.yaml", nc=nc,
+                                                  imgsz=imgsz)
+            variables, wmeta = load_weights(p)
+            self.names = wmeta.get("names")
+            self.meta = meta
+
+            @jax.jit
+            def call(x):
+                return decode(model.apply(variables, x, train=False), meta)
+
+            self._fn = call
+
+    @staticmethod
+    def _sniff(p: Path) -> str:
+        if p.suffix == ".stablehlo" or (p.is_file() and p.suffix != ""):
+            return "stablehlo"
+        if (p / "saved_model.pb").exists():
+            return "saved_model"
+        return "orbax"
+
+    def __call__(self, image_f32):
+        return self._fn(image_f32)
+
+    def warmup(self, shape=(1, 1024, 1024, 3)):
+        import jax.numpy as jnp
+
+        self(jnp.zeros(shape, jnp.float32))
+        return self

@@ -100,9 +100,15 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         nbr_iou, nbr_idx = jax.lax.top_k(cand, M)  # (n, M)
     nbr_valid = nbr_iou > 0.0
 
-    # exact rotated IoU on the sparse pairs only
-    pair_b = b[nbr_idx]  # (n, M, 5)
-    riou = rotated_iou(b[:, None, :], pair_b)  # (n, M)
+    # exact rotated IoU on the sparse pairs only; on TPU the Pallas kernel
+    # keeps all clip/ordering buffers in VMEM (ops/pallas/iou_kernel.py)
+    if jax.default_backend() == "tpu":
+        from .pallas.iou_kernel import sparse_rotated_iou
+
+        riou = sparse_rotated_iou(b, nbr_idx)
+    else:
+        pair_b = b[nbr_idx]  # (n, M, 5)
+        riou = rotated_iou(b[:, None, :], pair_b)  # (n, M)
     sup_in = nbr_valid & (riou > iou_thr)  # j suppressed-by-edge from nbr_idx[j,m]
 
     def cond(state):
@@ -131,6 +137,7 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         "max_det",
         "multi_label",
         "agnostic",
+        "approx_topk",
     ),
 )
 def non_max_suppression_obb(
@@ -142,6 +149,7 @@ def non_max_suppression_obb(
     max_det: int = 1500,
     multi_label: bool = False,
     agnostic: bool = False,
+    approx_topk: bool = True,
 ):
     """Batched decode + rotated NMS of raw head outputs.
 
@@ -162,34 +170,36 @@ def non_max_suppression_obb(
     boxes = prediction[..., :4]
     obj = prediction[..., 4]
     cls_conf = prediction[..., 5 : 5 + nc] * obj[..., None]  # conf = obj * cls
-    theta_idx = jnp.argmax(prediction[..., 5 + nc :], axis=-1)
-    theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
 
     B, N = obj.shape
     k = min(max_candidates, N * nc if multi_label else N)
+    topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
 
-    def one_image(boxes_i, cls_conf_i, theta_i, obj_i):
+    def one_image(boxes_i, cls_conf_i, theta_logits_i, obj_i):
         if multi_label:
             flat = jnp.where(
                 (cls_conf_i > conf_thres) & (obj_i[:, None] > conf_thres),
                 cls_conf_i,
                 0.0,
             ).reshape(-1)  # (N*nc,)
-            scores, idx = jax.lax.top_k(flat, k)
+            scores, idx = topk(flat, k)
             box_idx = idx // nc
             cls_id = idx % nc
         else:
             best = jnp.max(cls_conf_i, axis=-1)
             cls_id_all = jnp.argmax(cls_conf_i, axis=-1)
             flat = jnp.where((best > conf_thres) & (obj_i > conf_thres), best, 0.0)
-            scores, box_idx = jax.lax.top_k(flat, k)
+            scores, box_idx = topk(flat, k)
             cls_id = cls_id_all[box_idx]
 
-        rb = jnp.concatenate(
-            [boxes_i[box_idx], theta_i[box_idx, None]], axis=-1
-        )  # (k, 5)
+        # theta argmax only on selected candidates ((k,180) not (N,180))
+        theta_idx = jnp.argmax(theta_logits_i[box_idx], axis=-1)
+        theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
+
+        rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)  # (k, 5)
         keep = nms_rotated(
-            rb, scores, iou_thres, class_ids=None if agnostic else cls_id
+            rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
+            approx_topk=approx_topk,
         )
         final = jnp.where(keep, scores, 0.0)
         top_s, top_i = jax.lax.top_k(final, max_det)
@@ -205,7 +215,7 @@ def non_max_suppression_obb(
         det = det * valid[:, None]
         return det, jnp.sum(valid.astype(jnp.int32))
 
-    return jax.vmap(one_image)(boxes, cls_conf, theta, obj)
+    return jax.vmap(one_image)(boxes, cls_conf, prediction[..., 5 + nc :], obj)
 
 
 def nms_rotated_np(rboxes, scores, iou_thr, iou_fn):
