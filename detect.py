@@ -55,7 +55,12 @@ def parse_opt():
 def list_images(source):
     p = Path(source)
     if p.is_dir():
-        return [f for f in sorted(p.rglob("*")) if f.suffix.lower() in IMG_EXTS]
+        files = [f for f in sorted(p.rglob("*")) if f.suffix.lower() in IMG_EXTS]
+        if not files:
+            raise FileNotFoundError(f"no images found under {source}")
+        return files
+    if not p.exists():
+        raise FileNotFoundError(f"source not found: {source}")
     return [p]
 
 

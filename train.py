@@ -57,6 +57,8 @@ def parse_opt():
     p.add_argument("--weights", type=str, default="", help="initial weights (orbax dir)")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=16, help="global batch size")
+    p.add_argument("--nominal-batch", type=int, default=64,
+                   help="gradient-accumulation target batch (reference nbs=64)")
     p.add_argument("--imgsz", type=int, default=1024)
     p.add_argument("--max-labels", type=int, default=500)
     p.add_argument("--workers", type=int, default=8)
@@ -117,6 +119,7 @@ def run(opt, hyp_override: dict | None = None):
     tx, opt_info = build_optimizer(
         variables["params"], hyp, epochs=opt.epochs,
         steps_per_epoch=steps_per_epoch, batch_size=opt.batch_size,
+        nominal_batch=opt.nominal_batch,
         linear_lr=opt.linear_lr, use_adam=opt.adam,
     )
     print(
@@ -207,8 +210,8 @@ def run(opt, hyp_override: dict | None = None):
                 "names": d["names"], "cfg": opt.cfg, "imgsz": opt.imgsz,
             }
             save_checkpoint(save_dir / "last", state, ckpt_meta)
-            if fit > best_fit:
-                best_fit = fit
+            if fit > best_fit or val_ds is None:
+                best_fit = max(best_fit, fit)
                 patience_left = opt.patience
                 save_weights(
                     save_dir / "best",

@@ -20,17 +20,26 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def _to_host(tree):
+    """Device arrays → numpy so checkpoints restore on any topology
+    (a mesh-replicated save would otherwise pin sharding metadata to the
+    saving process's device count)."""
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
 def save_checkpoint(path, state, metadata: dict | None = None):
     """Save full train state for resume."""
     path = Path(path).absolute()
-    tree = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "ema_params": state.ema_params,
-        "opt_state": state.opt_state,
-        "step": state.step,
-        "ema_updates": state.ema_updates,
-    }
+    tree = _to_host(
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "ema_params": state.ema_params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "ema_updates": state.ema_updates,
+        }
+    )
     _ckptr().save(path, tree, force=True)
     if metadata is not None:
         (path / "meta.json").write_text(json.dumps(metadata, default=str))
@@ -68,7 +77,11 @@ def restore_checkpoint(path, state):
 def save_weights(path, params, batch_stats, metadata: dict | None = None):
     """Deployment weights (e.g. stripped EMA): params + BN stats only."""
     path = Path(path).absolute()
-    _ckptr().save(path, {"params": params, "batch_stats": batch_stats}, force=True)
+    _ckptr().save(
+        path,
+        _to_host({"params": params, "batch_stats": batch_stats}),
+        force=True,
+    )
     if metadata is not None:
         (path / "meta.json").write_text(json.dumps(metadata, default=str))
 
