@@ -132,7 +132,8 @@ def _pairs_iou_math(ax, ay, al, as_, at, bx, by, bl, bs, bt):
 
     # rank[i] = #points ordered before i (index tiebreak) — unrolled loop,
     # buffers stay (24, P)
-    idx24 = jax.lax.broadcasted_iota(jnp.float32, (24, 1), 0)  # 2-D iota for TPU
+    # 2-D integer iota (f32 iota has no TPU lowering), cast after
+    idx24 = jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0).astype(jnp.float32)
     rank = jnp.zeros_like(ang)
     for j in range(24):
         aj = ang[j][None, :]
