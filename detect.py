@@ -52,16 +52,44 @@ def parse_opt():
     return p.parse_args()
 
 
+VID_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".m4v", ".webm"}
+
+
 def list_images(source):
     p = Path(source)
     if p.is_dir():
-        files = [f for f in sorted(p.rglob("*")) if f.suffix.lower() in IMG_EXTS]
+        files = [
+            f for f in sorted(p.rglob("*"))
+            if f.suffix.lower() in (IMG_EXTS | VID_EXTS)
+        ]
         if not files:
             raise FileNotFoundError(f"no images found under {source}")
         return files
     if not p.exists():
         raise FileNotFoundError(f"source not found: {source}")
     return [p]
+
+
+def iter_frames(files):
+    """Yield (path, frame_idx_or_None, BGR image, video_writer_info)."""
+    for f in files:
+        if f.suffix.lower() in VID_EXTS:
+            cap = cv2.VideoCapture(str(f))
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30
+            idx = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield f, idx, frame, fps
+                idx += 1
+            cap.release()
+        else:
+            im0 = cv2.imread(str(f))
+            if im0 is None:
+                print(f"skipping unreadable {f}")
+                continue
+            yield f, None, im0, None
 
 
 def run(opt):
@@ -92,11 +120,10 @@ def run(opt):
     files = list_images(opt.source)
     t_pre = t_inf = 0.0
     n_det_total = 0
-    for f in files:
-        im0 = cv2.imread(str(f))
-        if im0 is None:
-            print(f"skipping unreadable {f}")
-            continue
+    n_frames = 0
+    writers = {}
+    for f, frame_idx, im0, fps in iter_frames(files):
+        n_frames += 1
         t0 = time.perf_counter()
         img, ratio, pad = letterbox(im0, opt.imgsz, auto=False, scaleup=False)
         x = np.ascontiguousarray(img[:, :, ::-1])[None]  # BGR→RGB, add batch
@@ -122,17 +149,32 @@ def run(opt):
                 if opt.save_conf:
                     row.append(float(conf[k]))
                 lines.append(" ".join(f"{v:g}" for v in row))
-            (save_dir / "labels" / f"{f.stem}.txt").write_text("\n".join(lines) + "\n" if lines else "")
+            stem = f.stem if frame_idx is None else f"{f.stem}_{frame_idx}"
+            (save_dir / "labels" / f"{stem}.txt").write_text(
+                "\n".join(lines) + "\n" if lines else ""
+            )
 
         if not opt.nosave:
             annotate_detections(
                 im0, polys, conf, cls, names,
                 line_width=opt.line_thickness, hide_conf=opt.hide_conf,
             )
-            cv2.imwrite(str(save_dir / f.name), im0)
-        print(f"{f.name}: {n} detections ({(t2 - t1) * 1000:.1f} ms)")
+            if frame_idx is None:
+                cv2.imwrite(str(save_dir / f.name), im0)
+            else:  # video: stream annotated frames to an mp4 writer
+                if f not in writers:
+                    out = save_dir / f"{f.stem}_annotated.mp4"
+                    writers[f] = cv2.VideoWriter(
+                        str(out), cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                        (im0.shape[1], im0.shape[0]),
+                    )
+                writers[f].write(im0)
+        label = f.name if frame_idx is None else f"{f.name}#{frame_idx}"
+        print(f"{label}: {n} detections ({(t2 - t1) * 1000:.1f} ms)")
 
-    n = max(len(files), 1)
+    for w in writers.values():
+        w.release()
+    n = max(n_frames, 1)
     print(
         f"Speed: {t_pre / n * 1000:.1f}ms pre-process, {t_inf / n * 1000:.1f}ms "
         f"inference+NMS per image at shape (1, {opt.imgsz}, {opt.imgsz}, 3)"

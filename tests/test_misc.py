@@ -1,0 +1,116 @@
+"""Tests for support components: fuse, DOTA API, autoanchor, metrics, tools."""
+
+import numpy as np
+import pytest
+
+from yolov5_obb_tpu.utils.autoanchor import (
+    best_possible_recall,
+    kmean_anchors,
+)
+from yolov5_obb_tpu.utils.metrics import ap_per_class, compute_ap, process_batch_hbb
+
+
+def test_compute_ap_perfect_and_zero():
+    ap, _, _ = compute_ap(np.array([0.5, 1.0]), np.array([1.0, 1.0]))
+    assert ap == pytest.approx(1.0, abs=1e-6)
+    ap0, _, _ = compute_ap(np.array([0.0, 0.0]), np.array([0.0, 0.0]))
+    assert ap0 < 0.05
+
+
+def test_ap_per_class_simple():
+    # 2 preds, both TP at every IoU threshold, one class, 2 GT
+    tp = np.ones((2, 10), bool)
+    conf = np.array([0.9, 0.8])
+    pred_cls = np.zeros(2)
+    target_cls = np.zeros(2)
+    p, r, ap, f1, cls = ap_per_class(tp, conf, pred_cls, target_cls)
+    assert ap.shape == (1, 10)
+    assert ap[0, 0] > 0.99
+    assert cls.tolist() == [0]
+
+
+def test_process_batch_one_to_one():
+    det = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+    gt = np.array([[0, 0, 10, 10]], float)
+    tp = process_batch_hbb(det, np.array([0.9, 0.8]), np.zeros(2), gt,
+                           np.zeros(1), np.linspace(0.5, 0.95, 10))
+    assert tp[0].all() and not tp[1].any()
+
+
+def test_kmean_anchors_improves_bpr(rng):
+    wh = np.abs(rng.normal(0, 1, (400, 2))) * [40, 20] + 4
+    bad = np.array([[500.0, 500.0]] * 9)
+    bpr_bad, _ = best_possible_recall(wh, bad)
+    k = kmean_anchors(wh, n=9, gen=50, seed=0)
+    bpr_new, _ = best_possible_recall(wh, k)
+    assert k.shape == (9, 2)
+    assert bpr_new > bpr_bad
+    assert bpr_new > 0.95
+
+
+def test_fuse_conv_bn_preserves_output():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models.yolo import create_model
+    from yolov5_obb_tpu.utils.fuse import fuse_conv_bn, model_info
+
+    model, variables, meta = create_model("yolov5n.yaml", nc=2, imgsz=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    # make BN stats non-trivial
+    _, upd = model.apply(variables, x * 3 + 1, train=True, mutable=["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": upd["batch_stats"]}
+    want = model.apply(variables, x, train=False)
+
+    fused = fuse_conv_bn(variables)
+    got = model.apply(fused, x, train=False)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    info = model_info(variables)
+    assert info["params_M"] > 1.0
+
+
+def test_dota_api(mini_dota_session):
+    from yolov5_obb_tpu.devkit.dota_api import DOTA, parse_dota_poly, parse_dota_rec
+
+    api = DOTA(mini_dota_session)
+    ids = api.get_img_ids()
+    assert len(ids) == 4
+    anns = api.load_anns(img_id=ids[0])
+    assert len(anns) == 5  # difficult-2 boxes included in raw API
+    rec = parse_dota_rec(mini_dota_session / "labelTxt" / f"{ids[0]}.txt")
+    assert all(o["bndbox"][0] <= o["bndbox"][2] for o in rec)
+    img = api.show_anns(ids[0])
+    assert img is not None and img.ndim == 3
+
+
+def test_dataset_tools(mini_dota_session, tmp_path):
+    from yolov5_obb_tpu.data.tools import autosplit, dataset_stats, extract_boxes
+
+    files = autosplit(mini_dota_session / "images", weights=(0.5, 0.5, 0.0))
+    assert sum(f.exists() for f in files) >= 1
+    out, n = extract_boxes(mini_dota_session / "images", tmp_path / "cls")
+    assert n > 0 and any(out.iterdir())
+
+    data_yaml = tmp_path / "d.yaml"
+    data_yaml.write_text(
+        f"path: {mini_dota_session}\ntrain: images\nnc: 15\n"
+        "names: [plane, baseball-diamond, bridge, ground-track-field, small-vehicle,\n"
+        "        large-vehicle, ship, tennis-court, basketball-court, storage-tank,\n"
+        "        soccer-ball-field, roundabout, harbor, swimming-pool, helicopter]\n"
+    )
+    stats = dataset_stats(data_yaml)
+    assert stats["train"]["image_count"] == 4
+
+
+def test_callbacks_registry():
+    from yolov5_obb_tpu.utils.callbacks import Callbacks
+
+    cb = Callbacks()
+    hits = []
+    cb.register_action("on_train_start", "t", lambda: hits.append(1))
+    cb.run("on_train_start")
+    assert hits == [1]
+    with pytest.raises(ValueError):
+        cb.register_action("nope", "x", lambda: None)
