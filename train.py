@@ -14,7 +14,6 @@ all-reduce).  Checkpoints are Orbax trees under runs/train/exp*/.
 from __future__ import annotations
 
 import argparse
-import csv
 import time
 from pathlib import Path
 
@@ -70,6 +69,8 @@ def parse_opt():
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
     p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--image-weights", action="store_true",
+                   help="weighted image sampling by inverse class frequency")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
     p.add_argument("--evolve", type=int, default=0, help="hyp-evolution generations")
@@ -148,22 +149,29 @@ def run(opt, hyp_override: dict | None = None):
     step_fn = make_train_step(model, loss_fn, tx, mesh=mesh)
 
     # --- loop ----------------------------------------------------------
-    csv_path = save_dir / "results.csv"
-    if not csv_path.exists():
-        with open(csv_path, "w", newline="") as f:
-            csv.writer(f).writerow(
-                ["epoch", "train/box_loss", "train/obj_loss", "train/cls_loss",
-                 "train/theta_loss", "metrics/precision", "metrics/recall",
-                 "metrics/HBBmAP.5", "metrics/HBBmAP.5:.95", "fitness",
-                 "time_s"]
-            )
+    from yolov5_obb_tpu.data.tools import (
+        labels_to_class_weights,
+        labels_to_image_weights,
+    )
+    from yolov5_obb_tpu.utils.loggers import Loggers
+
+    loggers = Loggers(save_dir, include=("csv", "tb"), hyp=hyp, opt=opt)
+    class_weights = (
+        labels_to_class_weights(train_ds.cls, meta.nc) if opt.image_weights else None
+    )
+    iw_rng = np.random.default_rng(opt.seed + 99)
 
     patience_left = opt.patience
     for epoch in range(start_epoch, opt.epochs):
         t0 = time.time()
+        indices = None
+        if opt.image_weights:
+            iw = labels_to_image_weights(train_ds.cls, meta.nc, class_weights)
+            indices = iw_rng.choice(len(train_ds), size=len(train_ds), p=iw)
         loader = create_dataloader(
             train_ds, opt.batch_size, shuffle=True, augment=True,
             seed=opt.seed + epoch, num_workers=opt.workers, num_epochs=1,
+            indices=indices,
         )
         mloss = np.zeros(4)
         nb = 0
@@ -192,12 +200,18 @@ def run(opt, hyp_override: dict | None = None):
             )
         fit = fitness(metrics["mp"], metrics["mr"], metrics["map50"], metrics["map"])
 
-        with open(csv_path, "a", newline="") as f:
-            csv.writer(f).writerow(
-                [epoch, *(f"{v:.5f}" for v in mloss), f"{metrics['mp']:.5f}",
-                 f"{metrics['mr']:.5f}", f"{metrics['map50']:.5f}",
-                 f"{metrics['map']:.5f}", f"{fit:.5f}", f"{time.time()-t0:.1f}"]
-            )
+        lr_now = float(opt_info["lr_fn"](int(state.step)))
+        loggers.log_epoch(
+            epoch,
+            {
+                "train/box_loss": mloss[0], "train/obj_loss": mloss[1],
+                "train/cls_loss": mloss[2], "train/theta_loss": mloss[3],
+                "metrics/precision": metrics["mp"], "metrics/recall": metrics["mr"],
+                "metrics/HBBmAP.5": metrics["map50"],
+                "metrics/HBBmAP.5:.95": metrics["map"],
+                "fitness": fit, "x/lr0": lr_now,
+            },
+        )
         print(
             f"epoch {epoch}/{opt.epochs - 1} done in {time.time()-t0:.1f}s  "
             f"loss(box,obj,cls,theta)={np.round(mloss, 4).tolist()}  "
@@ -225,6 +239,13 @@ def run(opt, hyp_override: dict | None = None):
             print(f"early stopping at epoch {epoch} (patience {opt.patience})")
             break
 
+    loggers.finish()
+    try:
+        from yolov5_obb_tpu.utils.plots import plot_results
+
+        plot_results(save_dir / "results.csv")
+    except Exception as e:
+        print(f"plot_results failed: {e}")
     print(f"training complete; best fitness {best_fit:.4f}; results in {save_dir}")
     return save_dir, best_fit
 

@@ -46,28 +46,37 @@ def create_dataloader(
     num_workers: int = 0,
     num_epochs: int | None = None,
     drop_remainder: bool = True,
+    indices=None,
 ) -> Iterator[Batch]:
     """Iterate fixed-shape batches.
 
     With ``num_workers > 0`` uses Grain multi-process prefetch; otherwise an
     in-process generator (useful for tests and small jobs).
+    ``indices`` overrides the epoch's sample order (e.g. image-weighted
+    resampling, reference train.py:278-281).
     """
+    if indices is not None:
+        indices = np.asarray(indices, np.int64)
     if num_workers > 0:
         import grain.python as gp
 
         ds = dataset
 
+        remap = indices
+
         class _Sample(gp.RandomMapTransform):
             def random_map(self, i, rng: np.random.Generator):
+                j = int(remap[int(i)]) if remap is not None else int(i)
                 return (
-                    ds.get_train_sample(int(i), rng)
+                    ds.get_train_sample(j, rng)
                     if augment
-                    else ds.get_eval_sample(int(i))
+                    else ds.get_eval_sample(j)
                 )
 
-        source = gp.RangeDataSource(start=0, stop=len(dataset), step=1)
+        n_rec = len(indices) if indices is not None else len(dataset)
+        source = gp.RangeDataSource(start=0, stop=n_rec, step=1)
         sampler = gp.IndexSampler(
-            num_records=len(dataset),
+            num_records=n_rec,
             shard_options=gp.NoSharding(),
             shuffle=shuffle,
             num_epochs=num_epochs,
@@ -96,7 +105,7 @@ def create_dataloader(
     rng = np.random.default_rng(seed)
     epoch = 0
     while num_epochs is None or epoch < num_epochs:
-        order = np.arange(len(dataset))
+        order = indices.copy() if indices is not None else np.arange(len(dataset))
         if shuffle:
             rng.shuffle(order)
         for start in range(0, len(order), batch_size):

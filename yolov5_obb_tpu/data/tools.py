@@ -105,3 +105,26 @@ def extract_boxes(path, out_dir=None):
             cv2.imwrite(str(dst / f"{f.stem}_{n}.jpg"), img[y1:y2, x1:x2])
             n += 1
     return out, n
+
+
+def labels_to_class_weights(cls_lists, nc: int):
+    """Inverse-frequency class weights (reference general.py:506-519)."""
+    counts = np.zeros(nc)
+    for cls in cls_lists:
+        for c in np.asarray(cls, int):
+            if 0 <= c < nc:
+                counts[c] += 1
+    w = 1.0 / np.maximum(counts, 1)
+    w[counts == 0] = 0
+    return w / max(w.sum(), 1e-9)
+
+
+def labels_to_image_weights(cls_lists, nc: int, class_weights=None):
+    """Per-image sampling weights from class content (reference general.py:521-526)."""
+    cw = class_weights if class_weights is not None else labels_to_class_weights(cls_lists, nc)
+    out = np.zeros(len(cls_lists))
+    for i, cls in enumerate(cls_lists):
+        h = np.bincount(np.asarray(cls, int), minlength=nc)[:nc]
+        out[i] = float((h * cw).sum())
+    s = out.sum()
+    return out / s if s > 0 else np.full(len(cls_lists), 1.0 / max(len(cls_lists), 1))

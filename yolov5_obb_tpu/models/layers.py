@@ -448,3 +448,14 @@ class Classify(nn.Module):
         x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global average pool
         x = nn.Conv(self.c2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
         return x.reshape(x.shape[0], -1)
+
+
+class MaxPool(nn.Module):
+    """Plain max-pool layer (the reference yolov3-tiny's nn.MaxPool2d rows)."""
+
+    k: int = 2
+    s: int | None = None
+
+    def __call__(self, x, train: bool = False):
+        s = self.s or self.k
+        return nn.max_pool(x, (self.k, self.k), strides=(s, s))

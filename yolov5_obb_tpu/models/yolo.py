@@ -99,7 +99,8 @@ def parse_model_config(d: dict, ch_in: int = 3):
     ch = [ch_in]
     detect_from = None
     for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
-        name = {"nn.Upsample": "Upsample", "nn.BatchNorm2d": "BatchNorm"}.get(name, name)
+        name = {"nn.Upsample": "Upsample", "nn.BatchNorm2d": "BatchNorm",
+                "nn.MaxPool": "MaxPool", "nn.MaxPool2d": "MaxPool"}.get(name, name)
         args = list(args)
         n_eff = max(round(n * gd), 1) if n > 1 else n
 
@@ -221,6 +222,7 @@ def _build_module(spec: LayerSpec, dtype, name: str):
         "Upsample": lambda: L.Upsample(
             scale=int(a[1]) if len(a) > 1 else 2, name=name
         ),
+        "MaxPool": lambda: L.MaxPool(*(int(v) for v in a), name=name),
         "Classify": lambda: L.Classify(*a, dtype=dtype, name=name),
     }
     if kind not in mk:
