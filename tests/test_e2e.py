@@ -32,9 +32,10 @@ def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
 
     opt = types.SimpleNamespace(
         cfg="yolov5n.yaml", data=str(data_yaml), hyp=None, weights="",
-        epochs=2, batch_size=2, imgsz=128, max_labels=16, workers=0,
+        epochs=2, batch_size=2, nominal_batch=64, imgsz=128, max_labels=16, workers=0,
         dtype="float32", seed=0, noval=False, nosave=False, val_images=2,
-        save_period=-1, patience=100, linear_lr=False, adam=False, resume="",
+        save_period=-1, patience=100, linear_lr=False, image_weights=False,
+        adam=False, resume="",
         log_interval=100, project=str(tmp_path / "runs/train"), name="exp",
         exist_ok=True,
     )

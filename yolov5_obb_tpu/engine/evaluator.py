@@ -28,6 +28,8 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
     """Jitted image→detections function; shared by val/detect.
     ``tta`` enables multi-scale + flip augmented inference."""
 
+    from ..ops.rotated_nms import non_max_suppression_from_maps
+
     @jax.jit
     def predict(variables, image_u8):
         x = image_u8.astype(jnp.float32) / 255.0
@@ -35,19 +37,17 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
             from ..models.tta import predict_tta
 
             pred = predict_tta(model, variables, meta, x)
-        else:
-            maps = model.apply(variables, x, train=False)
-            pred = decode(maps, meta)
-        dets, num = non_max_suppression_obb(
-            pred,
-            num_classes=meta.nc,
-            conf_thres=conf_thres,
-            iou_thres=iou_thres,
-            max_candidates=max_candidates,
-            max_det=max_det,
+            return non_max_suppression_obb(
+                pred, num_classes=meta.nc, conf_thres=conf_thres,
+                iou_thres=iou_thres, max_candidates=max_candidates,
+                max_det=max_det, multi_label=multi_label,
+            )
+        maps = model.apply(variables, x, train=False)
+        return non_max_suppression_from_maps(
+            maps, meta, conf_thres=conf_thres, iou_thres=iou_thres,
+            max_candidates=max_candidates, max_det=max_det,
             multi_label=multi_label,
         )
-        return dets, num
 
     return predict
 

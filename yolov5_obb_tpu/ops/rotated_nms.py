@@ -218,6 +218,87 @@ def non_max_suppression_obb(
     return jax.vmap(one_image)(boxes, cls_conf, prediction[..., 5 + nc :], obj)
 
 
+def non_max_suppression_from_maps(
+    maps,
+    meta,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_candidates: int = 4096,
+    max_det: int = 1500,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    approx_topk: bool = True,
+):
+    """Decode + NMS fused over raw Detect maps — avoids materialising the
+    full ``(B, N, 5+nc+180)`` sigmoid tensor (~800 MB at b16/1024): only
+    obj/cls sigmoids, decoded boxes, and a per-anchor theta argmax are
+    formed before candidate selection.
+
+    Same output contract as :func:`non_max_suppression_obb`."""
+    nc = meta.nc
+    boxes_l, conf_l, obj_l, theta_l = [], [], [], []
+    for li, p in enumerate(maps):
+        B, ny, nx, na, no = p.shape
+        obj = jax.nn.sigmoid(p[..., 4])
+        cls = jax.nn.sigmoid(p[..., 5 : 5 + nc]) * obj[..., None]
+        gy = jnp.arange(ny, dtype=jnp.float32)[:, None, None]
+        gx = jnp.arange(nx, dtype=jnp.float32)[None, :, None]
+        sxy = jax.nn.sigmoid(p[..., 0:2])
+        swh = jax.nn.sigmoid(p[..., 2:4])
+        anchor = jnp.asarray(meta.anchors_px[li], jnp.float32)
+        x = (sxy[..., 0] * 2 - 0.5 + gx) * meta.strides[li]
+        y = (sxy[..., 1] * 2 - 0.5 + gy) * meta.strides[li]
+        wh = (swh * 2) ** 2 * anchor
+        box = jnp.stack([x, y, wh[..., 0], wh[..., 1]], axis=-1)
+        theta_idx = jnp.argmax(p[..., 5 + nc :], axis=-1)
+        n = ny * nx * na
+        boxes_l.append(box.reshape(B, n, 4))
+        conf_l.append(cls.reshape(B, n, nc))
+        obj_l.append(obj.reshape(B, n))
+        theta_l.append(theta_idx.reshape(B, n))
+    boxes = jnp.concatenate(boxes_l, 1)
+    cls_conf = jnp.concatenate(conf_l, 1)
+    obj = jnp.concatenate(obj_l, 1)
+    theta_idx_all = jnp.concatenate(theta_l, 1)
+
+    B, N = obj.shape
+    k = min(max_candidates, N * nc if multi_label else N)
+    topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
+
+    def one_image(boxes_i, cls_conf_i, theta_i, obj_i):
+        if multi_label:
+            flat = jnp.where(
+                (cls_conf_i > conf_thres) & (obj_i[:, None] > conf_thres),
+                cls_conf_i, 0.0,
+            ).reshape(-1)
+            scores, idx = topk(flat, k)
+            box_idx = idx // nc
+            cls_id = idx % nc
+        else:
+            best = jnp.max(cls_conf_i, axis=-1)
+            cls_id_all = jnp.argmax(cls_conf_i, axis=-1)
+            flat = jnp.where((best > conf_thres) & (obj_i > conf_thres), best, 0.0)
+            scores, box_idx = topk(flat, k)
+            cls_id = cls_id_all[box_idx]
+
+        theta = (theta_i[box_idx].astype(jnp.float32) - 90.0) / 180.0 * PI
+        rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)
+        keep = nms_rotated(
+            rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
+            approx_topk=approx_topk,
+        )
+        final = jnp.where(keep, scores, 0.0)
+        top_s, top_i = jax.lax.top_k(final, max_det)
+        det = jnp.concatenate(
+            [rb[top_i], top_s[:, None], cls_id[top_i].astype(jnp.float32)[:, None]],
+            axis=-1,
+        )
+        valid = top_s > 0
+        return det * valid[:, None], jnp.sum(valid.astype(jnp.int32))
+
+    return jax.vmap(one_image)(boxes, cls_conf, theta_idx_all, obj)
+
+
 def nms_rotated_np(rboxes, scores, iou_thr, iou_fn):
     """Reference greedy NMS oracle in NumPy (mirrors nms_rotated_cpu.cpp:8-74).
 
