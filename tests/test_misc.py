@@ -114,3 +114,51 @@ def test_callbacks_registry():
     assert hits == [1]
     with pytest.raises(ValueError):
         cb.register_action("nope", "x", lambda: None)
+
+
+def test_verify_images_quarantine(tmp_path):
+    import cv2
+
+    from yolov5_obb_tpu.data.dota import DotaDataset, DOTA_V1_NAMES
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labelTxt").mkdir()
+    ok = np.full((64, 64, 3), 120, np.uint8)
+    cv2.imwrite(str(tmp_path / "images/good.png"), ok)
+    (tmp_path / "images/bad.png").write_bytes(b"not an image at all")
+    (tmp_path / "labelTxt/good.txt").write_text("")
+
+    ds = DotaDataset(tmp_path / "images", DOTA_V1_NAMES, img_size=64, verify=True)
+    assert len(ds) == 1
+    assert ds.img_files[0].endswith("good.png")
+
+
+def test_remat_step_matches(rng):
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.engine.loss import ComputeLoss
+    from yolov5_obb_tpu.engine.optim import build_optimizer
+    from yolov5_obb_tpu.engine.trainer import create_train_state, make_train_step
+    from yolov5_obb_tpu.models.yolo import create_model
+    import jax
+
+    model, variables, meta = create_model("yolov5n.yaml", nc=2, imgsz=64)
+    loss_fn = ComputeLoss(meta)
+    tx, _ = build_optimizer(variables["params"], {}, epochs=2, steps_per_epoch=2,
+                            batch_size=64)
+    img = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    targets = np.zeros((2, 4, 186), np.float32)
+    targets[:, 0, 1:6] = [32, 32, 20, 10, 0.2]
+    targets[:, 0, 6 + 101] = 1.0
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+
+    v1 = jax.tree.map(jnp.copy, variables)
+    v2 = jax.tree.map(jnp.copy, variables)
+    s1 = create_train_state(v1, tx)
+    s2 = create_train_state(v2, tx)
+    step_plain = make_train_step(model, loss_fn, tx)
+    step_remat = make_train_step(model, loss_fn, tx, remat=True)
+    _, m1 = step_plain(s1, jnp.asarray(img), jnp.asarray(targets), jnp.asarray(mask))
+    _, m2 = step_remat(s2, jnp.asarray(img), jnp.asarray(targets), jnp.asarray(mask))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)

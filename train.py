@@ -72,6 +72,8 @@ def parse_opt():
     p.add_argument("--image-weights", action="store_true",
                    help="weighted image sampling by inverse class frequency")
     p.add_argument("--adam", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="activation rematerialisation (larger batches, ~30% slower)")
     p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
     p.add_argument("--evolve", type=int, default=0, help="hyp-evolution generations")
     p.add_argument("--log-interval", type=int, default=50)
@@ -146,7 +148,9 @@ def run(opt, hyp_override: dict | None = None):
         best_fit = float(ckpt_meta.get("best_fitness", -1.0))
         print(f"resumed from {opt.resume} at epoch {start_epoch}")
     state = put_state(state, mesh)
-    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh)
+    step_fn = make_train_step(
+        model, loss_fn, tx, mesh=mesh, remat=getattr(opt, "remat", False)
+    )
 
     # --- loop ----------------------------------------------------------
     from yolov5_obb_tpu.data.tools import (

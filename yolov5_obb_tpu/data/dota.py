@@ -113,8 +113,11 @@ class DotaDataset:
         max_labels: int = 500,
         cache_dir: str | None = None,
         stride: int = 32,
+        verify: bool = False,
     ):
         self.img_files = _scan_images(path)
+        if verify:
+            self.img_files = self._verify_images(self.img_files)
         self.label_files = [img2label_path(f) for f in self.img_files]
         self.names = list(names)
         self.name_to_id = {n: i for i, n in enumerate(self.names)}
@@ -124,6 +127,33 @@ class DotaDataset:
         self.max_labels = int(max_labels)
         self.stride = stride
         self._load_labels(cache_dir)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _verify_images(files):
+        """Quarantine unreadable/corrupt images (reference verify_image_label,
+        datasets.py:949-995): PIL header check + truncated-JPEG detection."""
+        from PIL import Image
+
+        good = []
+        for f in files:
+            try:
+                with Image.open(f) as im:
+                    im.verify()
+                    w, h = im.size
+                if w < 10 or h < 10:
+                    raise ValueError(f"image too small ({w}x{h})")
+                if Path(f).suffix.lower() in (".jpg", ".jpeg"):
+                    with open(f, "rb") as fh:
+                        fh.seek(-2, 2)
+                        if fh.read() != b"\xff\xd9":
+                            raise ValueError("truncated JPEG")
+                good.append(f)
+            except Exception as e:
+                print(f"dataset: quarantined {f}: {e}")
+        if not good:
+            raise FileNotFoundError("all images failed verification")
+        return good
 
     # ------------------------------------------------------------------
     def _cache_key(self):
