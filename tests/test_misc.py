@@ -162,3 +162,80 @@ def test_remat_step_matches(rng):
     _, m1 = step_plain(s1, jnp.asarray(img), jnp.asarray(targets), jnp.asarray(mask))
     _, m2 = step_remat(s2, jnp.asarray(img), jnp.asarray(targets), jnp.asarray(mask))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_freeze_zeroes_updates(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.engine.loss import ComputeLoss
+    from yolov5_obb_tpu.engine.optim import build_optimizer
+    from yolov5_obb_tpu.engine.trainer import create_train_state, make_train_step
+    from yolov5_obb_tpu.models.yolo import create_model
+
+    model, variables, meta = create_model("yolov5n.yaml", nc=2, imgsz=64)
+    loss_fn = ComputeLoss(meta)
+    tx, _ = build_optimizer(variables["params"], {}, epochs=2, steps_per_epoch=2,
+                            batch_size=64, freeze=3)
+    state = create_train_state(variables, tx)
+    before = {k: np.asarray(jax.tree.leaves(state.params[k])[0]).copy()
+              for k in ("m0", "m1", "m2", "m4")}
+    img = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    targets = np.zeros((2, 4, 186), np.float32)
+    targets[:, 0, 1:6] = [32, 32, 20, 10, 0.2]
+    targets[:, 0, 6 + 101] = 1.0
+    mask = np.zeros((2, 4), bool)
+    mask[:, 0] = True
+    step = make_train_step(model, loss_fn, tx)
+    state, _ = step(state, jnp.asarray(img), jnp.asarray(targets), jnp.asarray(mask))
+    for k in ("m0", "m1", "m2"):
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(state.params[k])[0]), before[k]
+        )
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(state.params["m4"])[0]), before["m4"]
+    )
+
+
+def test_autobatch_sane():
+    from yolov5_obb_tpu.utils.autobatch import autobatch
+
+    b = autobatch(21_600_000, imgsz=1024, width_multiple=0.75,
+                  depth_multiple=0.67, hbm_bytes=16 << 30)
+    assert 4 <= b <= 64
+    b_remat = autobatch(21_600_000, imgsz=1024, width_multiple=0.75,
+                        depth_multiple=0.67, hbm_bytes=16 << 30, remat=True)
+    assert b_remat >= b
+    assert autobatch(21_600_000, imgsz=1024, width_multiple=0.75,
+                     depth_multiple=0.67, hbm_bytes=1 << 28) == 1
+
+
+def test_confusion_matrix_plot(tmp_path):
+    from yolov5_obb_tpu.utils.metrics import ConfusionMatrix
+    from yolov5_obb_tpu.utils.plots import plot_confusion_matrix
+
+    cm = ConfusionMatrix(nc=3)
+    det = np.array([[0, 0, 10, 10]], float)
+    gt = np.array([[0, 0, 10, 10]], float)
+    cm.process_batch(det, np.array([0.9]), np.array([1]), gt, np.array([1]))
+    assert cm.matrix[1, 1] == 1
+    out = plot_confusion_matrix(cm.matrix, ["a", "b", "c"], tmp_path / "cm.png")
+    assert (tmp_path / "cm.png").exists()
+
+
+def test_voc_xml_to_dota(tmp_path):
+    from yolov5_obb_tpu.devkit.converters import voc_xml_to_dota
+
+    (tmp_path / "xml").mkdir()
+    (tmp_path / "xml/a.xml").write_text(
+        "<annotation><object><name>feright car</name><difficult>0</difficult>"
+        "<polygon><x1>1</x1><y1>2</y1><x2>3</x2><y2>2</y2>"
+        "<x3>3</x3><y3>6</y3><x4>1</x4><y4>6</y4></polygon></object>"
+        "<object><name>car</name><bndbox><xmin>10</xmin><ymin>10</ymin>"
+        "<xmax>20</xmax><ymax>18</ymax></bndbox></object></annotation>"
+    )
+    out, n = voc_xml_to_dota(tmp_path / "xml", tmp_path / "dota")
+    assert n == 1
+    txt = (out / "a.txt").read_text().splitlines()
+    assert txt[0].startswith("1.0 2.0 3.0 2.0 3.0 6.0 1.0 6.0 feright-car")
+    assert "10.0 10.0 20.0 10.0 20.0 18.0 10.0 18.0 car" in txt[1]

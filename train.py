@@ -72,6 +72,8 @@ def parse_opt():
     p.add_argument("--image-weights", action="store_true",
                    help="weighted image sampling by inverse class frequency")
     p.add_argument("--adam", action="store_true")
+    p.add_argument("--freeze", type=int, default=0,
+                   help="freeze the first N graph layers")
     p.add_argument("--remat", action="store_true",
                    help="activation rematerialisation (larger batches, ~30% slower)")
     p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
@@ -124,6 +126,7 @@ def run(opt, hyp_override: dict | None = None):
         steps_per_epoch=steps_per_epoch, batch_size=opt.batch_size,
         nominal_batch=opt.nominal_batch,
         linear_lr=opt.linear_lr, use_adam=opt.adam,
+        freeze=getattr(opt, "freeze", 0),
     )
     print(
         f"optimizer: {'adam' if opt.adam else 'sgd'} accumulate={opt_info['accumulate']} "

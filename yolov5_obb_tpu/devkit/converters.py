@@ -108,3 +108,36 @@ def dota_to_coco(split_dir, out_json, classnames, difficult_ok=("0", "1")):
         )
     )
     return out_json
+
+
+def voc_xml_to_dota(xml_dir, out_dir, name_map=None):
+    """DroneVehicle-style VOC XMLs (with polygon points) → DOTA labelTxt
+    (reference tools/Xml2Txt.py:6-56)."""
+    import xml.etree.ElementTree as ET
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for xml_f in sorted(Path(xml_dir).glob("*.xml")):
+        rows = []
+        root = ET.parse(xml_f).getroot()
+        for obj in root.iter("object"):
+            name = (obj.findtext("name") or "unknown").strip().replace(" ", "-")
+            if name_map:
+                name = name_map.get(name, name)
+            diff = obj.findtext("difficult") or "0"
+            pb = obj.find("polygon") or obj.find("point")
+            if pb is not None:
+                vals = [float(pb.findtext(f"{ax}{i}") or 0)
+                        for i in range(1, 5) for ax in ("x", "y")]
+            else:
+                bb = obj.find("bndbox")
+                if bb is None:
+                    continue
+                x1, y1 = float(bb.findtext("xmin")), float(bb.findtext("ymin"))
+                x2, y2 = float(bb.findtext("xmax")), float(bb.findtext("ymax"))
+                vals = [x1, y1, x2, y1, x2, y2, x1, y2]
+            rows.append(" ".join(f"{v:.1f}" for v in vals) + f" {name} {diff}")
+        (out / f"{xml_f.stem}.txt").write_text("\n".join(rows) + ("\n" if rows else ""))
+        n += 1
+    return out, n

@@ -97,8 +97,12 @@ def build_optimizer(
     nominal_batch: int = 64,
     linear_lr: bool = False,
     use_adam: bool = False,
+    freeze: int = 0,
 ):
-    """Construct the full optax transformation (+ accumulation)."""
+    """Construct the full optax transformation (+ accumulation).
+
+    ``freeze`` zeroes updates for the first N graph layers (params under
+    ``m0..m{N-1}``) — the reference's --freeze (train.py:126-131)."""
     h = {**DEFAULT_OPT_HYP, **{k: v for k, v in hyp.items() if k in DEFAULT_OPT_HYP}}
     accumulate = max(round(nominal_batch / batch_size), 1)
     wd = h["weight_decay"] * batch_size * accumulate / nominal_batch
@@ -119,7 +123,7 @@ def build_optimizer(
             lambda decay: optax.trace(decay=decay, nesterov=True)
         )(decay=momentum_fn)
 
-    tx = optax.chain(
+    parts = [
         optax.masked(optax.add_decayed_weights(wd), decay_mask),
         momentum_core,
         optax.multi_transform(
@@ -129,7 +133,14 @@ def build_optimizer(
             },
             bias_labels,
         ),
-    )
+    ]
+    if freeze > 0:
+        frozen_names = {f"m{i}" for i in range(freeze)}
+        frozen_mask = jax.tree_util.tree_map_with_path(
+            lambda p, _: p[0].key in frozen_names, params
+        )
+        parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    tx = optax.chain(*parts)
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx, {"accumulate": accumulate, "weight_decay": wd, "lr_fn": lr_fn}

@@ -122,3 +122,28 @@ def plot_labels(rboxes, classes, names, save_dir):
     fig.savefig(out, dpi=200)
     plt.close(fig)
     return out
+
+
+def plot_confusion_matrix(matrix, names, save_path, normalize=True):
+    """Confusion-matrix heatmap (reference metrics.py:160-190)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    m = np.asarray(matrix, float)
+    if normalize:
+        m = m / np.maximum(m.sum(0, keepdims=True), 1e-9)
+    labels = list(names) + ["background"]
+    fig, ax = plt.subplots(figsize=(10, 8), tight_layout=True)
+    im = ax.imshow(m, cmap="Blues", vmin=0)
+    ax.set_xticks(range(len(labels)))
+    ax.set_yticks(range(len(labels)))
+    ax.set_xticklabels(labels, rotation=90, fontsize=7)
+    ax.set_yticklabels(labels, fontsize=7)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    fig.colorbar(im)
+    fig.savefig(save_path, dpi=200)
+    plt.close(fig)
+    return save_path
