@@ -46,6 +46,10 @@ def parse_opt():
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--line-thickness", type=int, default=2)
+    p.add_argument("--vid-stride", type=int, default=1,
+                   help="stream frame-rate stride")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="stop stream inference after N batches")
     p.add_argument("--project", type=str, default="runs/detect")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
@@ -68,6 +72,18 @@ def list_images(source):
     if not p.exists():
         raise FileNotFoundError(f"source not found: {source}")
     return [p]
+
+
+def iter_stream_frames(source, vid_stride=1, max_frames=None):
+    """Yield (pseudo-path, frame_idx, BGR image, fps) from live streams
+    (webcam index / URL / .streams list) via the threaded LoadStreams reader."""
+    from yolov5_obb_tpu.data.streams import LoadStreams
+
+    streams = LoadStreams(source, vid_stride=vid_stride, max_frames=max_frames)
+    for idx, (srcs, frames, fps) in enumerate(streams):
+        for si, frame in enumerate(frames):
+            name = Path(str(srcs[si]).replace("://", "_").replace("/", "_"))
+            yield name, idx, frame, fps[si]
 
 
 def iter_frames(files):
@@ -117,12 +133,20 @@ def run(opt):
     if opt.save_txt:
         (save_dir / "labels").mkdir(parents=True, exist_ok=True)
 
-    files = list_images(opt.source)
+    from yolov5_obb_tpu.data.streams import is_stream_source
+
+    if is_stream_source(opt.source):
+        frame_iter = iter_stream_frames(
+            opt.source, vid_stride=getattr(opt, "vid_stride", 1),
+            max_frames=getattr(opt, "max_frames", None),
+        )
+    else:
+        frame_iter = iter_frames(list_images(opt.source))
     t_pre = t_inf = 0.0
     n_det_total = 0
     n_frames = 0
     writers = {}
-    for f, frame_idx, im0, fps in iter_frames(files):
+    for f, frame_idx, im0, fps in frame_iter:
         n_frames += 1
         t0 = time.perf_counter()
         img, ratio, pad = letterbox(im0, opt.imgsz, auto=False, scaleup=False)

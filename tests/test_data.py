@@ -117,3 +117,29 @@ def test_label_cache_roundtrip(mini_dota, tmp_path):
     )
     for a, b in zip(ds1.polys, ds2.polys):
         np.testing.assert_array_equal(a, b)
+
+
+def test_load_streams_from_video_file(tmp_path):
+    import cv2
+
+    from yolov5_obb_tpu.data.streams import LoadStreams, is_stream_source
+
+    vid = tmp_path / "clip.avi"
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        w.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    lst = tmp_path / "src.streams"
+    lst.write_text(f"{vid}\n")
+    assert is_stream_source(str(lst)) and is_stream_source("0") \
+        and is_stream_source("rtsp://cam/live") and not is_stream_source("img.png")
+
+    streams = LoadStreams(str(lst), max_frames=5)
+    batches = list(streams)
+    assert 1 <= len(batches) <= 5
+    srcs, frames, fps = batches[0]
+    assert len(frames) == 1 and frames[0].shape == (48, 64, 3)
+    assert fps[0] > 0
+    assert not any(streams.alive)

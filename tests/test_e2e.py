@@ -79,3 +79,21 @@ def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
     save_dir2, _ = train_cli.run(opt)
     lines = (save_dir2 / "results.csv").read_text().strip().splitlines()
     assert len(lines) >= 4  # header + epochs 0,1 (+2 resumed)
+
+
+@pytest.mark.slow
+def test_val_study_task(mini_dota_session, tmp_path):
+    import val as val_cli
+
+    data_yaml = _write_dataset_yaml(mini_dota_session, tmp_path / "data.yaml")
+    opt = types.SimpleNamespace(
+        weights="", cfg="yolov5n.yaml", data=str(data_yaml), task="study",
+        study_sizes=[96, 128], imgsz=128, batch_size=2, conf_thres=0.01,
+        iou_thres=0.4, max_det=50, max_images=2, save_json=False,
+        save_task1=False, hyp=None, project=str(tmp_path / "runs/val"),
+        name="study", exist_ok=True,
+    )
+    rows = val_cli.run(opt)
+    assert [int(r[0]) for r in rows] == [96, 128]
+    out = list((tmp_path / "runs/val").rglob("study_*.txt"))
+    assert len(out) == 1 and len(out[0].read_text().strip().splitlines()) == 2

@@ -239,3 +239,21 @@ def test_voc_xml_to_dota(tmp_path):
     txt = (out / "a.txt").read_text().splitlines()
     assert txt[0].startswith("1.0 2.0 3.0 2.0 3.0 6.0 1.0 6.0 feright-car")
     assert "10.0 10.0 20.0 10.0 20.0 18.0 10.0 18.0 car" in txt[1]
+
+
+def test_dota_to_mmdet_json(mini_dota_session, tmp_path):
+    import json
+    from pathlib import Path
+
+    from yolov5_obb_tpu.devkit.converters import dota_to_mmdet_json
+
+    out = dota_to_mmdet_json(mini_dota_session, tmp_path / "mm.json")
+    recs = json.loads(Path(out).read_text())
+    assert len(recs) == 4
+    r = recs[0]
+    assert set(r) >= {"filename", "height", "width", "id", "annotations"}
+    ann = r["annotations"]
+    assert len(ann["bboxes"]) == len(ann["labels"])
+    for b in ann["bboxes"] + ann["bboxes_ignore"]:
+        assert len(b) == 5  # [cx cy l s theta]
+        assert b[2] >= b[3] - 1e-6  # long-edge convention

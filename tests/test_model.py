@@ -66,3 +66,27 @@ def test_train_mode_updates_batch_stats():
     assert "batch_stats" in updates
     leaves = jax.tree.leaves(updates["batch_stats"])
     assert leaves, "no BN stats tracked"
+
+
+def test_sum_and_mixconv_modules():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models import layers as L
+
+    x = jnp.ones((2, 8, 8, 16))
+    # unweighted Sum is a plain add; weighted starts near x0 + Σ 2σ(wᵢ)xᵢ
+    s = L.Sum(2)
+    assert jnp.allclose(s.apply({}, [x, 2 * x]), 3 * x)
+    sw = L.Sum(3, weight=True)
+    vs = sw.init(jax.random.PRNGKey(0), [x, x, x])
+    y = sw.apply(vs, [x, x, x])
+    assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
+
+    m = L.MixConv2d(16, 24, k=(1, 3), s=1)
+    vm = m.init(jax.random.PRNGKey(0), x)
+    ym = m.apply(vm, x, train=False)
+    assert ym.shape == (2, 8, 8, 24)
+    # channel partition covers c2 exactly: kernel-1 group + kernel-3 group
+    convs = [k for k in vm["params"] if k.startswith("Conv")]
+    assert len(convs) == 2

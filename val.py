@@ -26,7 +26,11 @@ def parse_opt():
     p.add_argument("--weights", type=str, default="")
     p.add_argument("--cfg", type=str, default="yolov5n.yaml")
     p.add_argument("--data", type=str, required=True)
-    p.add_argument("--task", type=str, default="val", choices=["train", "val", "test", "speed"])
+    p.add_argument("--task", type=str, default="val",
+                   choices=["train", "val", "test", "speed", "study"])
+    p.add_argument("--study-sizes", type=int, nargs="+",
+                   default=list(range(256, 1536 + 1, 128)),
+                   help="imgsz sweep for --task study")
     p.add_argument("--imgsz", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--conf-thres", type=float, default=0.01)
@@ -46,6 +50,29 @@ def parse_opt():
 def run(opt):
     d = load_dataset_config(opt.data)
     hyp = load_hyp(opt.hyp)
+
+    if opt.task == "study":
+        # speed-vs-accuracy sweep over image sizes (reference val.py:379-396).
+        # NOTE: every size is a fresh XLA compile — budget accordingly on TPU.
+        rows = []
+        save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
+        for sz in opt.study_sizes:
+            sub = argparse.Namespace(**{**vars(opt), "task": "val", "imgsz": sz,
+                                        "save_json": False, "save_task1": False,
+                                        "project": str(save_dir), "name": f"sz{sz}",
+                                        "exist_ok": True})
+            r = run(sub)
+            rows.append([sz, r["mp"], r["mr"], r["map50"], r["map"],
+                         r.get("speed_ms_per_img", 0.0)])
+            print(f"study imgsz={sz}: mAP50={r['map50']:.4f} "
+                  f"{r.get('speed_ms_per_img', 0.0):.2f} ms/img")
+        stem = Path(opt.cfg).stem
+        out = save_dir / f"study_{Path(opt.data).stem}_{stem}.txt"
+        out.write_text("\n".join(
+            " ".join(f"{v:.5g}" for v in row) for row in rows) + "\n")
+        print(f"study results saved to {out}")
+        return rows
+
     split = d.get(opt.task if opt.task != "speed" else "val") or d["val"]
     dataset = DotaDataset(
         split, d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,

@@ -110,6 +110,50 @@ def dota_to_coco(split_dir, out_json, classnames, difficult_ok=("0", "1")):
     return out_json
 
 
+def dota_to_mmdet_json(split_dir, out_json, trainval=True):
+    """DOTA split dir (images/ + labelTxt/) → mmdet-style per-image json list
+    (reference DOTA2JSON.py:11-93).
+
+    Each record: ``{filename, height, width, id, annotations: {bboxes, labels,
+    bboxes_ignore, labels_ignore}}`` with rboxes as ``[cx cy l s theta]``
+    (long-edge convention, θ∈[-π/2, π/2)); difficult==1 → ignore lists,
+    difficult==2 dropped (matching the reference's parse_ann_info)."""
+    import cv2
+
+    from ..ops.geometry import poly2rbox
+
+    split = Path(split_dir)
+    records = []
+    for img_id, f in enumerate(sorted((split / "images").glob("*"))):
+        img = cv2.imread(str(f))
+        if img is None:
+            continue
+        rec = {"filename": f.name, "height": int(img.shape[0]),
+               "width": int(img.shape[1]), "id": img_id}
+        lab = split / "labelTxt" / f"{f.stem}.txt"
+        if trainval:
+            if not lab.exists():
+                continue
+            ann = {"bboxes": [], "labels": [], "bboxes_ignore": [], "labels_ignore": []}
+            for line in lab.read_text().splitlines():
+                parts = line.split()
+                if len(parts) < 9:
+                    continue
+                difficult = parts[9] if len(parts) > 9 else "0"
+                if difficult == "2":
+                    continue
+                poly = np.array([[float(v) for v in parts[:8]]])
+                rbox = poly2rbox(poly)[0].tolist()
+                key = "" if difficult == "0" else "_ignore"
+                ann["bboxes" + key].append([float(v) for v in rbox])
+                ann["labels" + key].append(parts[8])
+            rec["annotations"] = ann
+        records.append(rec)
+    Path(out_json).parent.mkdir(parents=True, exist_ok=True)
+    Path(out_json).write_text(json.dumps(records))
+    return out_json
+
+
 def voc_xml_to_dota(xml_dir, out_dir, name_map=None):
     """DroneVehicle-style VOC XMLs (with polygon points) → DOTA labelTxt
     (reference tools/Xml2Txt.py:6-56)."""

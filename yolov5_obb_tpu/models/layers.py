@@ -16,6 +16,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 DType = Any
@@ -448,6 +449,65 @@ class Classify(nn.Module):
         x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global average pool
         x = nn.Conv(self.c2, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
         return x.reshape(x.shape[0], -1)
+
+
+class Sum(nn.Module):
+    """(Optionally learned-weight) sum of n inputs — BiFPN-style fusion
+    (reference models/experimental.py:29-47): ``y = x0 + Σ 2σ(wᵢ)·xᵢ₊₁``."""
+
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = self.param(
+                "w", lambda _: -jnp.arange(1.0, self.n, dtype=jnp.float32) / 2
+            )
+            w = jax.nn.sigmoid(w) * 2
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i].astype(y.dtype)
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel-size conv (MixConv, reference models/experimental.py:50-71):
+    output channels split across kernel sizes, concat → BN → SiLU.
+
+    Channel split uses the reference's ``equal_ch`` strategy (even floor
+    partition of c2 over the kernel list)."""
+
+    c1: int
+    c2: int
+    k: tuple = (1, 3)
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.k)
+        idx = np.floor(np.linspace(0, n - 1e-6, self.c2)).astype(int)
+        groups = [int((idx == g).sum()) for g in range(n)]
+        outs = []
+        for ki, c_ in zip(self.k, groups):
+            outs.append(
+                nn.Conv(
+                    c_, (ki, ki), strides=(self.s, self.s),
+                    padding=[(ki // 2, ki // 2)] * 2,
+                    feature_group_count=math.gcd(self.c1, c_),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                )(x)
+            )
+        y = jnp.concatenate(outs, axis=-1)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(y)
+        return nn.silu(y).astype(self.dtype)
 
 
 class MaxPool(nn.Module):

@@ -82,7 +82,7 @@ def load_config(cfg) -> dict:
 _CH_MODULES = {
     "Conv", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP", "SPPF",
     "DWConv", "Focus", "CrossConv", "BottleneckCSP", "C3", "C3TR", "C3SPP",
-    "C3Ghost",
+    "C3Ghost", "MixConv2d",
 }
 # modules that additionally take the repeat count as a constructor arg
 _REPEAT_MODULES = {"BottleneckCSP", "C3", "C3TR", "C3Ghost"}
@@ -114,6 +114,9 @@ def parse_model_config(d: dict, ch_in: int = 3):
                 n_eff = 1
         elif name == "Concat":
             c2 = sum(ch[x] for x in f)
+        elif name == "Sum":
+            args = [len(f), *args[1:]] if args else [len(f)]
+            c2 = ch[f[0]]
         elif name == "Detect":
             detect_from = tuple(f)
             args = [tuple(ch[x] for x in f)]
@@ -126,7 +129,10 @@ def parse_model_config(d: dict, ch_in: int = 3):
             c2 = ch[f] if isinstance(f, int) else ch[f[0]]
 
         specs.append(
-            LayerSpec(i, tuple(f) if isinstance(f, list) else f, n_eff, name, tuple(args))
+            LayerSpec(
+                i, tuple(f) if isinstance(f, list) else f, n_eff, name,
+                tuple(tuple(v) if isinstance(v, list) else v for v in args),
+            )
         )
         if i == 0:
             ch = []
@@ -219,6 +225,8 @@ def _build_module(spec: LayerSpec, dtype, name: str):
         "Contract": lambda: L.Contract(*a, name=name),
         "Expand": lambda: L.Expand(*a, name=name),
         "Concat": lambda: L.Concat(name=name),
+        "Sum": lambda: L.Sum(*a, name=name),
+        "MixConv2d": lambda: L.MixConv2d(*a, dtype=dtype, name=name),
         "Upsample": lambda: L.Upsample(
             scale=int(a[1]) if len(a) > 1 else 2, name=name
         ),

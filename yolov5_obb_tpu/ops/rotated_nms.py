@@ -236,7 +236,7 @@ def non_max_suppression_from_maps(
 
     Same output contract as :func:`non_max_suppression_obb`."""
     nc = meta.nc
-    boxes_l, conf_l, obj_l, theta_l = [], [], [], []
+    boxes_l, conf_l, obj_l, theta_logits_l = [], [], [], []
     for li, p in enumerate(maps):
         B, ny, nx, na, no = p.shape
         obj = jax.nn.sigmoid(p[..., 4])
@@ -250,22 +250,24 @@ def non_max_suppression_from_maps(
         y = (sxy[..., 1] * 2 - 0.5 + gy) * meta.strides[li]
         wh = (swh * 2) ** 2 * anchor
         box = jnp.stack([x, y, wh[..., 0], wh[..., 1]], axis=-1)
-        theta_idx = jnp.argmax(p[..., 5 + nc :], axis=-1)
         n = ny * nx * na
         boxes_l.append(box.reshape(B, n, 4))
         conf_l.append(cls.reshape(B, n, nc))
         obj_l.append(obj.reshape(B, n))
-        theta_l.append(theta_idx.reshape(B, n))
+        theta_logits_l.append(p[..., 5 + nc :].reshape(B, n, no - 5 - nc))
     boxes = jnp.concatenate(boxes_l, 1)
     cls_conf = jnp.concatenate(conf_l, 1)
     obj = jnp.concatenate(obj_l, 1)
-    theta_idx_all = jnp.concatenate(theta_l, 1)
+    level_sizes = [t.shape[1] for t in theta_logits_l]
+    level_offsets = [0]
+    for sz in level_sizes[:-1]:
+        level_offsets.append(level_offsets[-1] + sz)
 
     B, N = obj.shape
     k = min(max_candidates, N * nc if multi_label else N)
     topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
 
-    def one_image(boxes_i, cls_conf_i, theta_i, obj_i):
+    def one_image(boxes_i, cls_conf_i, obj_i, *theta_levels):
         if multi_label:
             flat = jnp.where(
                 (cls_conf_i > conf_thres) & (obj_i[:, None] > conf_thres),
@@ -281,7 +283,16 @@ def non_max_suppression_from_maps(
             scores, box_idx = topk(flat, k)
             cls_id = cls_id_all[box_idx]
 
-        theta = (theta_i[box_idx].astype(jnp.float32) - 90.0) / 180.0 * PI
+        # theta logits gathered per level for the k candidates only — avoids
+        # both a (N, 180) concat copy and an argmax over all anchors
+        th = jnp.zeros((k, theta_levels[0].shape[-1]), theta_levels[0].dtype)
+        for off, sz, tl in zip(level_offsets, level_sizes, theta_levels):
+            local = box_idx - off
+            in_level = (local >= 0) & (local < sz)
+            g = tl[jnp.clip(local, 0, sz - 1)]
+            th = jnp.where(in_level[:, None], g, th)
+        theta_idx = jnp.argmax(th, axis=-1)
+        theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
@@ -296,7 +307,7 @@ def non_max_suppression_from_maps(
         valid = top_s > 0
         return det * valid[:, None], jnp.sum(valid.astype(jnp.int32))
 
-    return jax.vmap(one_image)(boxes, cls_conf, theta_idx_all, obj)
+    return jax.vmap(one_image)(boxes, cls_conf, obj, *theta_logits_l)
 
 
 def nms_rotated_np(rboxes, scores, iou_thr, iou_fn):
