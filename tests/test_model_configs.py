@@ -35,3 +35,20 @@ def test_config_builds_and_probes(cfg):
     )
     for o, s in zip(outs, meta.strides):
         assert o.shape == (2, sz // int(s), sz // int(s), meta.na, meta.no)
+
+
+def test_integer_anchor_spec(tmp_path):
+    """`anchors: N` synthesizes stride-scaled placeholder priors
+    (reference models/hub/yolov5-p7.yaml uses this form)."""
+    import yaml
+
+    d = yaml.safe_load((CONFIG_DIR / "yolov5n.yaml").read_text())
+    d["anchors"] = 3
+    f = tmp_path / "int_anchor.yaml"
+    f.write_text(yaml.safe_dump(d))
+    model, meta, _ = build_model(str(f), nc=15)
+    meta = probe_strides(model, meta, imgsz=256)
+    assert meta.na == 3 and meta.nl == 3
+    assert np.all(meta.anchors_px > 0)
+    # ladder grows with level stride
+    assert np.all(meta.anchors_px[1] > meta.anchors_px[0])

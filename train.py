@@ -162,7 +162,8 @@ def run(opt, hyp_override: dict | None = None):
     )
     from yolov5_obb_tpu.utils.loggers import Loggers
 
-    loggers = Loggers(save_dir, include=("csv", "tb"), hyp=hyp, opt=opt)
+    loggers = Loggers(save_dir, include=("csv", "tb", "wandb"), hyp=hyp, opt=opt)
+    loggers.log_dataset_artifact(opt.data)
     class_weights = (
         labels_to_class_weights(train_ds.cls, meta.nc) if opt.image_weights else None
     )
@@ -231,6 +232,8 @@ def run(opt, hyp_override: dict | None = None):
                 "names": d["names"], "cfg": opt.cfg, "imgsz": opt.imgsz,
             }
             save_checkpoint(save_dir / "last", state, ckpt_meta)
+            loggers.log_model_artifact(save_dir / "last", epoch, fit,
+                                       best=fit > best_fit)
             if fit > best_fit or val_ds is None:
                 best_fit = max(best_fit, fit)
                 patience_left = opt.patience

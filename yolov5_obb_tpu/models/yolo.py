@@ -138,7 +138,20 @@ def parse_model_config(d: dict, ch_in: int = 3):
             ch = []
         ch.append(c2)
 
-    anchors_px = np.asarray(anchors, dtype=np.float32).reshape(len(anchors), -1, 2)
+    if isinstance(anchors, int):
+        # `anchors: N` (reference models/hub/yolov5-p7.yaml) — synthesize a
+        # stride-scaled geometric ladder as placeholder priors (square boxes
+        # of 1.25/2.5/5/...× the level stride, assuming a P3-first ladder);
+        # run utils/autoanchor.kmean_anchors to fit them to a dataset.
+        nl = len(detect_from)
+        sizes = np.array(
+            [[1.25 * 2.0 ** a] * 2 for a in range(anchors)], dtype=np.float32
+        )
+        anchors_px = np.stack(
+            [sizes * 2.0 ** (li + 3) for li in range(nl)]
+        ).astype(np.float32)
+    else:
+        anchors_px = np.asarray(anchors, dtype=np.float32).reshape(len(anchors), -1, 2)
     return specs, nc, na, anchors_px, detect_from
 
 

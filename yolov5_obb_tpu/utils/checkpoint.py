@@ -87,7 +87,14 @@ def save_weights(path, params, batch_stats, metadata: dict | None = None):
 
 
 def load_weights(path):
-    """Load deployment weights → ({'params':..., 'batch_stats':...}, meta)."""
+    """Load deployment weights → ({'params':..., 'batch_stats':...}, meta).
+
+    Accepts a local orbax dir or a ``wandb-artifact://`` reference
+    (reference wandb_utils.py:68-80)."""
+    if str(path).startswith("wandb-artifact://"):
+        from .loggers import resolve_wandb_artifact
+
+        path = resolve_wandb_artifact(str(path))
     path = Path(path).absolute()
     tree = _ckptr().restore(path)
     meta = {}

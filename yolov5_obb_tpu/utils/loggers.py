@@ -63,6 +63,48 @@ class Loggers:
         if self.wandb is not None:
             self.wandb.log(row, step=epoch)
 
+    def log_model_artifact(self, ckpt_dir, epoch: int, fitness: float = 0.0,
+                           best: bool = False):
+        """Version a checkpoint directory as a W&B artifact
+        (reference utils/loggers/wandb/wandb_utils.py:404-419). No-op when
+        wandb is inactive."""
+        if self.wandb is None:
+            return
+        import wandb
+
+        art = wandb.Artifact(
+            f"run_{self.wandb.id}_model", type="model",
+            metadata={"epoch": epoch, "fitness": float(fitness)},
+        )
+        art.add_dir(str(ckpt_dir))
+        aliases = ["latest", f"epoch{epoch}"] + (["best"] if best else [])
+        self.wandb.log_artifact(art, aliases=aliases)
+
+    def log_dataset_artifact(self, data_yaml):
+        """Version the dataset yaml (+label dir if local) as a W&B artifact
+        (reference wandb_utils.py:192-238). No-op when wandb is inactive."""
+        if self.wandb is None:
+            return
+        import wandb
+
+        art = wandb.Artifact(f"run_{self.wandb.id}_dataset", type="dataset")
+        art.add_file(str(data_yaml))
+        self.wandb.log_artifact(art)
+
     def finish(self):
         if self.wandb is not None:
             self.wandb.finish()
+
+
+def resolve_wandb_artifact(path: str) -> str:
+    """``wandb-artifact://entity/project/name:alias`` → local download dir
+    (reference wandb_utils.py:68-80 resume path). Returns ``path`` unchanged
+    for ordinary paths; raises if wandb is requested but unavailable."""
+    prefix = "wandb-artifact://"
+    if not str(path).startswith(prefix):
+        return path
+    import wandb  # noqa: F401 — ImportError is the correct failure here
+
+    api = wandb.Api()
+    art = api.artifact(str(path)[len(prefix):])
+    return art.download()
