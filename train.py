@@ -181,21 +181,27 @@ def run(opt, hyp_override: dict | None = None):
             seed=opt.seed + epoch, num_workers=opt.workers, num_epochs=1,
             indices=indices,
         )
-        mloss = np.zeros(4)
+        # loss items accumulate ON DEVICE — pulling them to host every step
+        # would sync the dispatch pipeline (one tunnel RTT per step here;
+        # lost overlap everywhere). Host sees them only at log points.
+        mloss_dev = None
         nb = 0
         for batch in loader:
             dev = put_batch(batch, mesh)
             state, m = step_fn(state, *dev)
-            mloss += np.asarray(m["items"])
+            mloss_dev = m["items"] if mloss_dev is None else mloss_dev + m["items"]
             nb += 1
             if nb % opt.log_interval == 0:
-                cur = mloss / nb
+                cur = np.asarray(mloss_dev, dtype=np.float64) / nb
                 print(
                     f"epoch {epoch} step {nb}/{steps_per_epoch} "
                     f"box {cur[0]:.4f} obj {cur[1]:.4f} cls {cur[2]:.4f} "
                     f"theta {cur[3]:.4f}"
                 )
-        mloss = mloss / max(nb, 1)
+        mloss = (
+            np.asarray(mloss_dev, dtype=np.float64) / nb
+            if mloss_dev is not None else np.zeros(4)
+        )
 
         # validation with EMA weights
         metrics = {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0}
