@@ -102,3 +102,23 @@ def test_mesh_step_matches_single_device(rng):
         l1.append(float(m1["loss"]))
         l2.append(float(m2["loss"]))
     np.testing.assert_allclose(l1, l2, rtol=2e-3)
+
+
+def test_mesh_eval_matches_single_device(mini_dota_session):
+    """Sharded evaluation (batch over a 4-device mesh) must reproduce the
+    single-device metrics exactly (pure SPMD, no cross-batch state)."""
+    from yolov5_obb_tpu.data.dota import DotaDataset
+    from yolov5_obb_tpu.engine.evaluator import evaluate
+    from yolov5_obb_tpu.models.yolo import create_model
+    from yolov5_obb_tpu.utils.general import load_hyp
+
+    names = [f"c{i}" for i in range(15)]
+    ds = DotaDataset(str(mini_dota_session / "images"), names, img_size=128,
+                     hyp=load_hyp(None), augment=False, max_labels=32)
+    model, variables, meta = create_model("yolov5n.yaml", nc=15, imgsz=128)
+
+    r1 = evaluate(model, variables, meta, ds, batch_size=4, max_images=4)
+    r8 = evaluate(model, variables, meta, ds, batch_size=4, max_images=4,
+                  mesh=make_mesh(4, platform="cpu"))
+    assert r1["map50"] == r8["map50"]
+    assert r1["mp"] == r8["mp"] and r1["mr"] == r8["mr"]

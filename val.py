@@ -40,6 +40,8 @@ def parse_opt():
     p.add_argument("--save-json", action="store_true")
     p.add_argument("--save-task1", action="store_true", help="per-class Task1 txts for devkit merge")
     p.add_argument("--augment", action="store_true", help="TTA inference")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard eval batches over N devices (0 = single device)")
     p.add_argument("--hyp", type=str, default=None)
     p.add_argument("--project", type=str, default="runs/val")
     p.add_argument("--name", type=str, default="exp")
@@ -93,12 +95,18 @@ def run(opt):
         print(f"speed: {res['speed_ms_per_img']:.2f} ms/img (bs={opt.batch_size})")
         return res
 
+    mesh = None
+    if getattr(opt, "mesh", 0):
+        from yolov5_obb_tpu.engine.trainer import make_mesh
+
+        mesh = make_mesh(opt.mesh)
+
     res = evaluate(
         model, variables, meta, dataset, batch_size=opt.batch_size,
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
         verbose=True, tta=getattr(opt, "augment", False),
         save_json=str(save_dir / "best_obb_predictions.json") if opt.save_json else None,
-        max_images=opt.max_images,
+        max_images=opt.max_images, mesh=mesh,
     )
     header = f"{'Class':>22}{'P':>10}{'R':>10}{'HBBmAP@.5':>12}{'HBBmAP@.5:.95':>15}"
     print(header)

@@ -8,6 +8,7 @@ aggregation, and DOTA-format JSON/txt export for the devkit merge step.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -24,13 +25,26 @@ from ..utils.metrics import ap_per_class, process_batch_hbb
 
 
 def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=True,
-                    max_candidates=4096, tta: bool = False):
+                    max_candidates=4096, tta: bool = False, mesh=None):
     """Jitted image→detections function; shared by val/detect.
-    ``tta`` enables multi-scale + flip augmented inference."""
+    ``tta`` enables multi-scale + flip augmented inference.
+
+    ``mesh``: optional 1-D data mesh — the batch shards across its devices
+    (replicated params, XLA-SPMD inference; every op here is batch-leading
+    so no collectives are needed until the host pulls results)."""
 
     from ..ops.rotated_nms import non_max_suppression_from_maps
 
-    @jax.jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        rsh = NamedSharding(mesh, P())
+        jit_kw = {"in_shardings": (rsh, bsh), "out_shardings": (bsh, bsh)}
+    else:
+        jit_kw = {}
+
+    @functools.partial(jax.jit, **jit_kw)
     def predict(variables, image_u8):
         x = image_u8.astype(jnp.float32) / 255.0
         if tta:
@@ -65,6 +79,7 @@ def evaluate(
     save_json: str | None = None,
     max_images: int | None = None,
     tta: bool = False,
+    mesh=None,
 ):
     """Run HBB-metric evaluation over `dataset`.
 
@@ -74,8 +89,13 @@ def evaluate(
     names = dataset.names
     iouv = np.linspace(0.5, 0.95, 10)
     predict = make_predict_fn(
-        model, meta, conf_thres, iou_thres, max_det, multi_label=True, tta=tta
+        model, meta, conf_thres, iou_thres, max_det, multi_label=True, tta=tta,
+        mesh=mesh,
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
 
     stats = []  # (tp, conf, cls, target_cls) per image
     json_out = []
@@ -91,7 +111,13 @@ def evaluate(
         samples = [dataset.get_eval_sample(i) for i in idxs]
         pad = batch_size - len(samples)
         batch_imgs = np.stack([s["image"] for s in samples + [samples[-1]] * pad])
-        dets, num = predict(variables, jnp.asarray(batch_imgs))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(batch_imgs, NamedSharding(mesh, P(mesh.axis_names[0])))
+        else:
+            x = jnp.asarray(batch_imgs)
+        dets, num = predict(variables, x)
         return samples, dets, num
 
     if n_img:  # warm/compile outside the timed region

@@ -49,7 +49,8 @@ def _hbb_iou_matrix(hbb):
 
 
 def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
-                max_neighbors: int = 64, approx_topk: bool = False):
+                max_neighbors: int = 64, approx_topk: bool = False,
+                presorted: bool = False):
     """Greedy rotated NMS over static-shaped inputs — sparse exact algorithm.
 
     A dense n×n exact rotated-IoU matrix materialises n²·24-point clip
@@ -73,24 +74,33 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         class_ids: optional ``(n,)`` int; suppression only within a class.
         max_neighbors: sparse-graph degree cap (exact as long as no box has
             more overlapping higher-scored neighbours than this).
+        presorted: scores are already descending (e.g. straight out of
+            ``top_k``) — skips the argsort + permutation gathers.
 
     Returns:
         keep: ``(n,)`` bool mask of surviving boxes (in input order).
     """
     n = scores.shape[0]
     M = min(max_neighbors, n)
-    order = jnp.argsort(-scores)
-    b = rboxes[order]
-    s = scores[order]
+    if presorted:
+        order = None
+        b, s = rboxes, scores
+    else:
+        order = jnp.argsort(-scores)
+        b = rboxes[order]
+        s = scores[order]
     valid = s > 0
 
     hiou = _hbb_iou_matrix(_hbb_cover(b))  # (n, n)
     tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [j, i]: i<j in score
     edge_ok = tri & valid[None, :] & valid[:, None]
     if class_ids is not None:
-        c = class_ids[order]
+        c = class_ids if presorted else class_ids[order]
         edge_ok = edge_ok & (c[:, None] == c[None, :])
-    cand = jnp.where(edge_ok, hiou, -1.0)  # (n_j, n_i)
+    # bf16 halves the top-k's input traffic; ranking cover-IoUs only decides
+    # WHICH pairs get exact verification, and bf16 rounding keeps positives
+    # positive (so no overlapping neighbour is dropped)
+    cand = jnp.where(edge_ok, hiou, -1.0).astype(jnp.bfloat16)  # (n_j, n_i)
 
     if approx_topk:
         # TPU-optimized approximate top-k (recall ~0.95 per row) — a missed
@@ -111,20 +121,38 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         riou = rotated_iou(b[:, None, :], pair_b)  # (n, M)
     sup_in = nbr_valid & (riou > iou_thr)  # j suppressed-by-edge from nbr_idx[j,m]
 
+    # Scatter the sparse edges into a dense (n, n) 0/1 matrix ONCE, so each
+    # fixed-point sweep is an MXU matvec instead of an (n, M) gather — TPU
+    # gathers run ~1 elem/cycle and dominated this kernel's runtime, while
+    # S @ alive reads S at full HBM bandwidth (bf16 is exact for {0,1} and
+    # row sums ≤ M << 256).
+    # .set (not .max): top_k indices are distinct within a row and rows are
+    # independent, so there are no scatter collisions — a plain scatter
+    # avoids the read-modify-write
+    S = (
+        jnp.zeros((n, n), jnp.bfloat16)
+        .at[jnp.arange(n)[:, None], nbr_idx]
+        .set(sup_in.astype(jnp.bfloat16), mode="drop", unique_indices=True)
+    )
+
     def cond(state):
         alive, prev, it = state
         return jnp.logical_and(jnp.any(alive != prev), it < n)
 
     def body(state):
         alive, _, it = state
-        hit = jnp.any(sup_in & alive[nbr_idx], axis=-1)
+        hit = (
+            jnp.dot(S, alive.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) > 0.0
+        )
         return (valid & ~hit, alive, it + 1)
 
     alive0 = valid
     alive, _, _ = jax.lax.while_loop(cond, body, (alive0, ~alive0, jnp.int32(0)))
 
-    keep = jnp.zeros_like(alive).at[order].set(alive)
-    return keep
+    if order is None:
+        return alive
+    return jnp.zeros_like(alive).at[order].set(alive)
 
 
 @functools.partial(
@@ -199,7 +227,7 @@ def non_max_suppression_obb(
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)  # (k, 5)
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            approx_topk=approx_topk,
+            approx_topk=approx_topk, presorted=True,  # top_k output is sorted
         )
         final = jnp.where(keep, scores, 0.0)
         top_s, top_i = jax.lax.top_k(final, max_det)
@@ -296,7 +324,7 @@ def non_max_suppression_from_maps(
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            approx_topk=approx_topk,
+            approx_topk=approx_topk, presorted=True,  # top_k output is sorted
         )
         final = jnp.where(keep, scores, 0.0)
         top_s, top_i = jax.lax.top_k(final, max_det)
