@@ -1,0 +1,89 @@
+"""AutoShape-style API + REST serving (reference AutoShape/restapi parity)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def obb_model():
+    from yolov5_obb_tpu.api import OBBModel
+
+    return OBBModel(cfg="yolov5n.yaml", names=[f"c{i}" for i in range(15)],
+                    imgsz=128, conf_thres=0.01)
+
+
+def test_api_single_and_batch(obb_model, tmp_path):
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (100 + 20 * i, 160, 3), dtype=np.uint8)
+            for i in range(3)]
+
+    res1 = obb_model(imgs[0])  # single input
+    assert len(res1.polys) == 1
+
+    res3 = obb_model(imgs)  # odd batch → padded to 4 internally, 3 results out
+    assert len(res3.polys) == 3
+    dfs = res3.pandas()
+    assert len(dfs) == 3
+    for df in dfs:
+        assert list(df.columns[:3]) == ["x1", "y1", "x2"] or len(df.columns) >= 8
+
+    out = res3.save(tmp_path / "render")
+    assert len(list((tmp_path / "render").glob("*.png"))) == 3 or out is not None
+
+
+def test_serve_http_roundtrip(obb_model):
+    import cv2
+    from http.server import ThreadingHTTPServer
+
+    from yolov5_obb_tpu.serve import _Worker, make_handler
+
+    worker = _Worker(obb_model, max_batch=4)
+    worker.start()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+        ok, blob = cv2.imencode(".png", img)
+        assert ok
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/obb-detection",
+                data=blob.tobytes(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+
+        # concurrent posts exercise the dynamic batching path
+        results = [None, None]
+
+        def run(i):
+            results[i] = post()
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for x in ts:
+            x.start()
+        for x in ts:
+            x.join(timeout=180)
+        for status, payload in results:
+            assert status == 200
+            assert isinstance(payload, list)
+
+        # bad payload → 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/obb-detection",
+            data=b"not an image", method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()

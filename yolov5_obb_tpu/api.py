@@ -54,7 +54,10 @@ class Detections:
                         "name": self.names[int(k)] if self.names else str(int(k)),
                     }
                 )
-            out.append(pd.DataFrame(rows))
+            cols = [f"{ax}{i+1}" for i in range(4) for ax in "xy"] + [
+                "confidence", "class", "name",
+            ]
+            out.append(pd.DataFrame(rows, columns=cols))
         return out
 
     def render(self):
@@ -124,9 +127,15 @@ class OBBModel:
         for im in imgs:
             lb, _, _ = letterbox(im, self.imgsz, auto=False, scaleup=False)
             batch.append(np.ascontiguousarray(lb[:, :, ::-1]))
+        # pad the batch to the next power of two so arbitrary request sizes
+        # reuse a handful of compiled shapes (each distinct shape is a fresh
+        # XLA compile)
+        n_real = len(batch)
+        n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        batch.extend([batch[-1]] * (n_pad - n_real))
         x = jnp.asarray(np.stack(batch))
         dets, num = self.predict(self.variables, x)
-        dets, num = np.asarray(dets), np.asarray(num)
+        dets, num = np.asarray(dets)[:n_real], np.asarray(num)[:n_real]
 
         polys_l, confs_l, clses_l = [], [], []
         for i, im in enumerate(imgs):

@@ -26,20 +26,31 @@ import numpy as np
 class _Worker(threading.Thread):
     """Single thread owning the model; requests serialized through a queue."""
 
-    def __init__(self, model):
+    def __init__(self, model, max_batch: int = 8):
         super().__init__(daemon=True)
         self.model = model
+        self.max_batch = max_batch
         self.q: queue.Queue = queue.Queue()
 
     def run(self):
         while True:
-            img, reply = self.q.get()
+            # dynamic batching: take one request, then drain whatever else is
+            # already queued (up to max_batch) into a single device call —
+            # concurrent clients share the fixed-shape batched inference
+            batch = [self.q.get()]
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self.q.get_nowait())
+                except queue.Empty:
+                    break
             try:
-                dets = self.model([img])
-                df = dets.pandas()[0]
-                reply.put(("ok", df.to_dict(orient="records")))
+                dets = self.model([img for img, _ in batch])
+                dfs = dets.pandas()
+                for (_, reply), df in zip(batch, dfs):
+                    reply.put(("ok", df.to_dict(orient="records")))
             except Exception as e:  # noqa: BLE001 — report any failure to client
-                reply.put(("error", str(e)))
+                for _, reply in batch:
+                    reply.put(("error", str(e)))
 
     def infer(self, img, timeout=60.0):
         reply: queue.Queue = queue.Queue()
