@@ -97,3 +97,34 @@ def test_val_study_task(mini_dota_session, tmp_path):
     assert [int(r[0]) for r in rows] == [96, 128]
     out = list((tmp_path / "runs/val").rglob("study_*.txt"))
     assert len(out) == 1 and len(out[0].read_text().strip().splitlines()) == 2
+
+
+@pytest.mark.slow
+def test_train_fires_callbacks(mini_dota_session, tmp_path):
+    import train as train_cli
+    from yolov5_obb_tpu.utils.callbacks import Callbacks
+
+    data_yaml = _write_dataset_yaml(mini_dota_session, tmp_path / "data.yaml")
+    seen = []
+    cb = Callbacks()
+    for ev in ("on_pretrain_routine_start", "on_train_start",
+               "on_train_epoch_start", "on_train_batch_end",
+               "on_train_epoch_end", "on_fit_epoch_end", "on_model_save",
+               "on_train_end"):
+        cb.register_action(ev, name="rec",
+                           callback=lambda *a, _ev=ev, **k: seen.append(_ev))
+
+    opt = types.SimpleNamespace(
+        cfg="yolov5n.yaml", data=str(data_yaml), hyp=None, weights="",
+        epochs=1, batch_size=2, nominal_batch=64, imgsz=128, max_labels=16,
+        workers=0, dtype="float32", seed=0, noval=True, nosave=False,
+        val_images=2, save_period=-1, patience=100, linear_lr=False,
+        image_weights=False, adam=False, resume="", log_interval=100,
+        project=str(tmp_path / "runs/train"), name="cb", exist_ok=True,
+    )
+    train_cli.run(opt, callbacks=cb)
+    for ev in ("on_pretrain_routine_start", "on_train_start",
+               "on_train_epoch_start", "on_train_batch_end",
+               "on_train_epoch_end", "on_fit_epoch_end", "on_model_save",
+               "on_train_end"):
+        assert ev in seen, f"{ev} never fired"

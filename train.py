@@ -85,9 +85,14 @@ def parse_opt():
     return p.parse_args()
 
 
-def run(opt, hyp_override: dict | None = None):
+def run(opt, hyp_override: dict | None = None, callbacks=None):
     import jax.numpy as jnp
 
+    if callbacks is None:
+        from yolov5_obb_tpu.utils.callbacks import Callbacks
+
+        callbacks = Callbacks()
+    callbacks.run("on_pretrain_routine_start")
     init_seeds(opt.seed)
     d = load_dataset_config(opt.data)
     hyp = hyp_override or load_hyp(opt.hyp)
@@ -169,8 +174,11 @@ def run(opt, hyp_override: dict | None = None):
     )
     iw_rng = np.random.default_rng(opt.seed + 99)
 
+    callbacks.run("on_pretrain_routine_end")
+    callbacks.run("on_train_start")
     patience_left = opt.patience
     for epoch in range(start_epoch, opt.epochs):
+        callbacks.run("on_train_epoch_start")
         t0 = time.time()
         indices = None
         if opt.image_weights:
@@ -191,6 +199,7 @@ def run(opt, hyp_override: dict | None = None):
             state, m = step_fn(state, *dev)
             mloss_dev = m["items"] if mloss_dev is None else mloss_dev + m["items"]
             nb += 1
+            callbacks.run("on_train_batch_end", epoch=epoch, step=nb)
             if nb % opt.log_interval == 0:
                 cur = np.asarray(mloss_dev, dtype=np.float64) / nb
                 print(
@@ -203,16 +212,21 @@ def run(opt, hyp_override: dict | None = None):
             if mloss_dev is not None else np.zeros(4)
         )
 
+        callbacks.run("on_train_epoch_end", epoch=epoch)
+
         # validation with EMA weights
         metrics = {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0}
         if val_ds is not None:
+            callbacks.run("on_val_start")
             ema_vars = {"params": state.ema_params, "batch_stats": state.batch_stats}
             metrics = evaluate(
                 model, ema_vars, meta, val_ds, batch_size=max(opt.batch_size, 2),
                 conf_thres=0.01, iou_thres=0.4, verbose=True,
                 max_images=opt.val_images,
             )
+            callbacks.run("on_val_end", metrics=metrics)
         fit = fitness(metrics["mp"], metrics["mr"], metrics["map50"], metrics["map"])
+        callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fit, metrics=metrics)
 
         lr_now = float(opt_info["lr_fn"](int(state.step)))
         loggers.log_epoch(
@@ -240,6 +254,7 @@ def run(opt, hyp_override: dict | None = None):
             save_checkpoint(save_dir / "last", state, ckpt_meta)
             loggers.log_model_artifact(save_dir / "last", epoch, fit,
                                        best=fit > best_fit)
+            callbacks.run("on_model_save", epoch=epoch, path=save_dir / "last")
             if fit > best_fit or val_ds is None:
                 best_fit = max(best_fit, fit)
                 patience_left = opt.patience
@@ -255,6 +270,7 @@ def run(opt, hyp_override: dict | None = None):
             print(f"early stopping at epoch {epoch} (patience {opt.patience})")
             break
 
+    callbacks.run("on_train_end", best_fitness=best_fit, save_dir=save_dir)
     loggers.finish()
     try:
         from yolov5_obb_tpu.utils.plots import plot_results
