@@ -152,3 +152,36 @@ def test_ciou_identity_and_disjoint():
     assert float(ciou_xywh(a, a)[0]) > 0.999
     b = jnp.array([[50.0, 50.0, 4.0, 2.0]])
     assert float(ciou_xywh(a, b)[0]) < 0.0
+
+
+def test_aux_loss_variants():
+    """QFocal and BCEBlur (reference loss.py:18-88) behave as documented."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolov5_obb_tpu.engine.loss import (
+        bce_blur_with_logits,
+        bce_with_logits,
+        focal_modulation,
+        qfocal_modulation,
+    )
+
+    logits = jnp.asarray([-3.0, -1.0, 0.0, 1.0, 3.0])
+    targets = jnp.asarray([0.0, 0.0, 1.0, 1.0, 1.0])
+
+    # qfocal: zero quality gap → zero modulation; large gap → larger weight
+    qf = qfocal_modulation(logits, targets, gamma=1.5)
+    assert float(qf[4]) < float(qf[2])  # confident correct < uncertain
+    assert np.all(np.asarray(qf) >= 0)
+
+    # focal and qfocal agree on hard 0/1 targets ordering
+    f = focal_modulation(logits, targets, gamma=1.5)
+    assert float(f[0]) < float(f[1])  # easy negative < harder negative
+
+    # bce_blur: confident false positive (p>>t=0) is strongly downweighted
+    blur = bce_blur_with_logits(logits, targets)
+    plain = bce_with_logits(logits, targets)
+    assert float(blur[1]) < float(plain[1]) * 1.01  # fp downweighted
+    ratio_fp = float(blur[1] / plain[1])
+    ratio_tp = float(blur[3] / plain[3])
+    assert ratio_fp < ratio_tp  # false positives reduced more than positives

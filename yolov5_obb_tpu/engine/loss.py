@@ -62,6 +62,24 @@ def focal_modulation(logits, targets, gamma: float, alpha: float = 0.25):
     return alpha_f * (1.0 - p_t) ** gamma
 
 
+def qfocal_modulation(logits, targets, gamma: float, alpha: float = 0.25):
+    """Quality-focal modulation (reference loss.py:65-88): weight by the
+    |target − σ(logit)|^γ quality gap instead of p_t."""
+    p = jax.nn.sigmoid(logits)
+    alpha_f = targets * alpha + (1 - targets) * (1 - alpha)
+    return alpha_f * jnp.abs(targets - p) ** gamma
+
+
+def bce_blur_with_logits(logits, targets, alpha: float = 0.05):
+    """BCE with missing-label alleviation (reference loss.py:18-32): reduce
+    the loss of confident positives whose target is 0 (likely unlabeled)."""
+    loss = bce_with_logits(logits, targets)
+    p = jax.nn.sigmoid(logits)
+    dx = p - targets
+    alpha_factor = 1 - jnp.exp((dx - 1) / (alpha + 1e-4))
+    return loss * alpha_factor
+
+
 def ciou_xywh(box1, box2, eps: float = 1e-7):
     """CIoU of two xywh boxes over trailing dim (reference metrics.py:201-236)."""
     b1x1, b1x2 = box1[..., 0] - box1[..., 2] / 2, box1[..., 0] + box1[..., 2] / 2
