@@ -30,3 +30,34 @@ def test_sparse_wrapper(rng):
     got = np.asarray(sparse_rotated_iou(boxes, idx, block=256))
     want = np.asarray(rotated_iou(boxes[:, None, :], boxes[idx]))
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_kernel_matches_exact_on_hard_pairs():
+    """4000 randomized pairs incl. identical / contained / disjoint /
+    near-duplicate cases — the compacted 16-slot kernel must agree with the
+    XLA exact IoU to float32 precision."""
+    import numpy as np
+
+    from yolov5_obb_tpu.ops.pallas.iou_kernel import pairs_rotated_iou
+    from yolov5_obb_tpu.ops.rotated_iou import rotated_iou
+
+    rng = np.random.default_rng(7)
+    N = 4000
+    a = np.stack([rng.uniform(0, 100, N), rng.uniform(0, 100, N),
+                  rng.uniform(1, 40, N), rng.uniform(1, 40, N),
+                  rng.uniform(-np.pi / 2, np.pi / 2, N)], -1).astype(np.float32)
+    b = a.copy()
+    b[:, :2] += rng.normal(0, 3, (N, 2)).astype(np.float32)
+    b[:, 2:4] = np.maximum(
+        b[:, 2:4] * rng.uniform(0.5, 1.5, (N, 2)), 0.5
+    ).astype(np.float32)
+    b[:, 4] += rng.normal(0, 0.2, N).astype(np.float32)
+    b[:50] = a[:50]
+    b[50:100, 2:4] = a[50:100, 2:4] * 0.3
+    b[100:150, :2] += 500
+
+    got = np.asarray(pairs_rotated_iou(a, b))
+    want = np.asarray(rotated_iou(a, b))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    np.testing.assert_allclose(got[:50], 1.0, atol=1e-3)
+    np.testing.assert_allclose(got[100:150], 0.0, atol=1e-6)

@@ -9,10 +9,11 @@ the small geometry dimensions (4 vertices, 24 candidate points) sit on
 sublanes:
 
 * vertices:        (4, P) per coordinate
-* edge crossings:  (4, 4, P)
-* candidate ring:  (24, P)
-* angular ordering: comparison-rank via an unrolled 24-step loop — no sort,
-  no (24, 24, P) buffer.
+* edge crossings:  (4, 4, P), compacted to 2 slots per subject edge (a
+  segment crosses a convex boundary at most twice) → 8 crossing slots
+* candidate ring:  (16, P) = 8 crossings + 2x4 vertices
+* angular ordering: comparison-rank via an unrolled 16-step loop — no sort,
+  no (16, 16, P) buffer.
 
 Output traffic is just the (P,) IoU values.
 """
@@ -88,9 +89,30 @@ def _pairs_iou_math(ax, ay, al, as_, at, bx, by, bl, bs, bt):
     cry = a0y[:, None] + t * ry
 
     P = ax.shape[-1]
-    cross_x = crx.reshape(16, P)
-    cross_y = cry.reshape(16, P)
-    cross_m = hit.reshape(16, P)
+    # A segment crosses a convex quad's boundary at most twice, so the 4
+    # candidate crossings per A-edge compact into 2 slots (min-t and max-t
+    # valid candidates) — the ordering loops below then run on 16 candidate
+    # points instead of 24 (the O(slots²) rank/ring stages dominate runtime).
+    BIG = jnp.float32(1e30)
+    tv = jnp.where(hit > 0.5, t, BIG)  # (4, 4, P)
+    tw = jnp.where(hit > 0.5, t, -BIG)
+    tmin = jnp.min(tv, axis=1, keepdims=True)  # (4, 1, P)
+    tmax = jnp.max(tw, axis=1, keepdims=True)
+    oh0 = jnp.where((tv == tmin) & (hit > 0.5), one, zero)  # (4, 4, P)
+    oh1 = jnp.where((tw == tmax) & (hit > 0.5), one, zero)
+    n0 = jnp.sum(oh0, axis=1)  # (4, P); >1 only for identical points
+    n1 = jnp.sum(oh1, axis=1)
+    x0 = jnp.sum(oh0 * crx, axis=1) / jnp.maximum(n0, 1.0)
+    y0 = jnp.sum(oh0 * cry, axis=1) / jnp.maximum(n0, 1.0)
+    x1 = jnp.sum(oh1 * crx, axis=1) / jnp.maximum(n1, 1.0)
+    y1 = jnp.sum(oh1 * cry, axis=1) / jnp.maximum(n1, 1.0)
+    cnt = jnp.sum(hit, axis=1)  # (4, P) valid crossings per A-edge
+    m0 = jnp.where(cnt >= 1.0, one, zero)
+    m1 = jnp.where(cnt >= 2.0, one, zero)
+
+    cross_x = jnp.concatenate([x0, x1], axis=0)  # (8, P)
+    cross_y = jnp.concatenate([y0, y1], axis=0)
+    cross_m = jnp.concatenate([m0, m1], axis=0)
 
     # --- containment tests -------------------------------------------------
     def inside(px, py, qx, qy):
@@ -112,9 +134,10 @@ def _pairs_iou_math(ax, ay, al, as_, at, bx, by, bl, bs, bt):
     a_in_b = inside(pax, pay, pbx, pby)
     b_in_a = inside(pbx, pby, pax, pay)
 
-    ptx = jnp.concatenate([cross_x, pax, pbx], axis=0)  # (24, P)
+    ptx = jnp.concatenate([cross_x, pax, pbx], axis=0)  # (16, P)
     pty = jnp.concatenate([cross_y, pay, pby], axis=0)
     mf = jnp.concatenate([cross_m, a_in_b, b_in_a], axis=0)  # float {0,1}
+    NPT = 16
 
     # --- angular rank ordering + shoelace ----------------------------------
     n = jnp.sum(mf, axis=0)  # (P,)
@@ -131,22 +154,22 @@ def _pairs_iou_math(ax, ay, al, as_, at, bx, by, bl, bs, bt):
     ang = jnp.where(mf > 0.5, ang, 10.0)
 
     # rank[i] = #points ordered before i (index tiebreak) — unrolled loop,
-    # buffers stay (24, P)
+    # buffers stay (NPT, P)
     # 2-D integer iota (f32 iota has no TPU lowering), cast after
-    idx24 = jax.lax.broadcasted_iota(jnp.int32, (24, 1), 0).astype(jnp.float32)
+    idx_pt = jax.lax.broadcasted_iota(jnp.int32, (NPT, 1), 0).astype(jnp.float32)
     rank = jnp.zeros_like(ang)
-    for j in range(24):
+    for j in range(NPT):
         aj = ang[j][None, :]
         lt = jnp.where(aj < ang, one, zero)
-        tie = jnp.where(aj == ang, one, zero) * jnp.where(idx24 > j, one, zero)
+        tie = jnp.where(aj == ang, one, zero) * jnp.where(idx_pt > j, one, zero)
         rank = rank + jnp.minimum(lt + tie, one)
 
     # ring[k] = point with rank k (one-hot accumulation, unrolled)
-    kio = idx24  # (24, 1)
+    kio = idx_pt  # (NPT, 1)
     ringx = jnp.zeros_like(ptx)
     ringy = jnp.zeros_like(pty)
-    for i in range(24):
-        oh = jnp.where(rank[i][None, :] == kio, one, zero)  # (24, P)
+    for i in range(NPT):
+        oh = jnp.where(rank[i][None, :] == kio, one, zero)  # (NPT, P)
         ringx = ringx + ptx[i][None, :] * oh
         ringy = ringy + pty[i][None, :] * oh
 
