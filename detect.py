@@ -117,17 +117,42 @@ def run(opt):
         d = load_dataset_config(opt.data)
         names, nc = d["names"], d["nc"]
 
-    model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz)
-    if opt.weights:
-        variables, wmeta = load_weights(opt.weights)
-        names = names or wmeta.get("names")
-    if names is None:
-        names = [str(i) for i in range(meta.nc)]
-
-    predict = make_predict_fn(
-        model, meta, opt.conf_thres, opt.iou_thres, opt.max_det, multi_label=True,
-        tta=getattr(opt, "augment", False),
+    w = Path(opt.weights) if opt.weights else None
+    alt_backend = w is not None and (
+        w.suffix == ".stablehlo" or (w / "saved_model.pb").exists()
     )
+    if alt_backend:
+        # exported-artifact inference (reference DetectMultiBackend): the
+        # artifact emits decoded (B, n_anchors, no) preds; NMS runs here
+        from yolov5_obb_tpu.models.backend import MultiBackend
+        from yolov5_obb_tpu.ops.rotated_nms import non_max_suppression_obb
+
+        backend = MultiBackend(str(w), cfg=opt.cfg, nc=nc, imgsz=opt.imgsz)
+        names = names or backend.names
+        if names is None:
+            raise SystemExit("--data (or artifact metadata) must provide names")
+        nc_eff = len(names)
+
+        def predict(_vars, image_u8):
+            pred = backend(image_u8.astype("float32") / 255.0)
+            return non_max_suppression_obb(  # already jitted
+                pred, num_classes=nc_eff, conf_thres=opt.conf_thres,
+                iou_thres=opt.iou_thres, max_det=opt.max_det, multi_label=True,
+            )
+
+        variables = None
+    else:
+        model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz)
+        if opt.weights:
+            variables, wmeta = load_weights(opt.weights)
+            names = names or wmeta.get("names")
+        if names is None:
+            names = [str(i) for i in range(meta.nc)]
+
+        predict = make_predict_fn(
+            model, meta, opt.conf_thres, opt.iou_thres, opt.max_det,
+            multi_label=True, tta=getattr(opt, "augment", False),
+        )
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     if opt.save_txt:

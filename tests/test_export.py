@@ -43,3 +43,37 @@ def test_saved_model_export(tmp_path):
     fwd, variables, meta = export_cli.build_forward(opt)
     sm = export_cli.export_saved_model(fwd, opt, tmp_path)
     assert (Path(sm) / "saved_model.pb").exists()
+
+
+@pytest.mark.slow
+def test_detect_via_stablehlo_backend(tmp_path, mini_dota_session):
+    """export → MultiBackend → detect CLI end-to-end on the artifact."""
+    import types
+
+    import detect as detect_cli
+    import export as export_cli
+
+    opt = types.SimpleNamespace(
+        weights="", cfg="yolov5n.yaml", imgsz=128, batch_size=1, nc=15,
+        include=["stablehlo"], out=str(tmp_path),
+    )
+    fwd, variables, meta = export_cli.build_forward(opt)
+    path = export_cli.export_stablehlo(fwd, opt, tmp_path)
+    assert Path(path).exists()
+
+    dopt = types.SimpleNamespace(
+        weights=str(path), cfg="yolov5n.yaml", data=None,
+        source=str(mini_dota_session / "images"), imgsz=128, conf_thres=0.01,
+        iou_thres=0.45, max_det=50, batch_size=1, save_txt=False,
+        save_conf=False, nosave=True, hide_conf=False, augment=False,
+        line_thickness=2, project=str(tmp_path / "runs"), name="hlo",
+        exist_ok=True,
+    )
+    # names must come from --data or metadata; pass via data yaml
+    data_yaml = tmp_path / "d.yaml"
+    data_yaml.write_text(
+        f"path: {mini_dota_session}\ntrain: images\nval: images\nnc: 15\n"
+        f"names: [{', '.join(f'c{i}' for i in range(15))}]\n")
+    dopt.data = str(data_yaml)
+    save_dir = detect_cli.run(dopt)
+    assert save_dir.exists()
