@@ -128,3 +128,48 @@ def test_train_fires_callbacks(mini_dota_session, tmp_path):
                "on_train_epoch_end", "on_fit_epoch_end", "on_model_save",
                "on_train_end"):
         assert ev in seen, f"{ev} never fired"
+
+
+@pytest.mark.slow
+def test_resume_continues_epochs(mini_dota_session, tmp_path):
+    """--resume restores optimizer/EMA/epoch and continues numbering
+    (reference train.py:179-199 resume semantics)."""
+    import train as train_cli
+
+    data_yaml = _write_dataset_yaml(mini_dota_session, tmp_path / "data.yaml")
+    base = dict(
+        cfg="yolov5n.yaml", data=str(data_yaml), hyp=None, weights="",
+        batch_size=2, nominal_batch=64, imgsz=128, max_labels=16, workers=0,
+        dtype="float32", seed=0, noval=True, nosave=False, val_images=2,
+        save_period=-1, patience=100, linear_lr=False, image_weights=False,
+        adam=False, log_interval=100, project=str(tmp_path / "runs"),
+        name="r", exist_ok=True,
+    )
+    save_dir, _ = train_cli.run(types.SimpleNamespace(**base, epochs=2, resume=""))
+    lines = (save_dir / "results.csv").read_text().strip().splitlines()
+    assert len(lines) == 3  # header + 2 epochs
+
+    save_dir2, _ = train_cli.run(types.SimpleNamespace(
+        **base, epochs=4, resume=str(save_dir / "last")))
+    lines = (save_dir2 / "results.csv").read_text().strip().splitlines()
+    rows = [ln.split(",")[0] for ln in lines[1:]]
+    assert rows == ["0", "1", "2", "3"]  # epochs continued, no restart
+
+
+@pytest.mark.slow
+def test_evolve_two_generations(mini_dota_session, tmp_path):
+    import train as train_cli
+
+    data_yaml = _write_dataset_yaml(mini_dota_session, tmp_path / "data.yaml")
+    opt = types.SimpleNamespace(
+        cfg="yolov5n.yaml", data=str(data_yaml), hyp=None, weights="",
+        epochs=1, batch_size=2, nominal_batch=64, imgsz=128, max_labels=16,
+        workers=0, dtype="float32", seed=0, noval=True, nosave=False,
+        val_images=2, save_period=-1, patience=100, linear_lr=False,
+        image_weights=False, adam=False, resume="", log_interval=100,
+        project=str(tmp_path / "runs"), name="ev", exist_ok=True, evolve=2,
+    )
+    train_cli.evolve(opt)
+    csv = list((tmp_path / "runs").rglob("evolve.csv"))
+    assert len(csv) == 1
+    assert len(csv[0].read_text().strip().splitlines()) == 3  # header + 2 gens
