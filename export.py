@@ -57,9 +57,9 @@ def export_stablehlo(fwd, opt, out_dir: Path):
     from jax import export as jexport
 
     t0 = time.time()
-    spec = jax.ShapeDtypeStruct(
-        (opt.batch_size, opt.imgsz, opt.imgsz, 3), jnp.float32
-    )
+    # symbolic batch dim: the artifact serves any batch size (val/detect/serve)
+    (b,) = jexport.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, opt.imgsz, opt.imgsz, 3), jnp.float32)
     exported = jexport.export(jax.jit(fwd))(spec)
     path = out_dir / f"model_{opt.imgsz}.stablehlo"
     path.write_bytes(exported.serialize())

@@ -81,9 +81,27 @@ def run(opt):
         max_labels=1000,
     )
 
-    model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
-    if opt.weights:
-        variables, _ = load_weights(opt.weights)
+    predict_fn = None
+    w = Path(opt.weights) if opt.weights else None
+    if w is not None and (w.suffix == ".stablehlo" or (w / "saved_model.pb").exists()):
+        # exported-artifact backend (reference DetectMultiBackend in val)
+        from yolov5_obb_tpu.models.backend import MultiBackend
+        from yolov5_obb_tpu.ops.rotated_nms import non_max_suppression_obb
+
+        backend = MultiBackend(str(w), cfg=opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
+        model = variables = None
+        meta = getattr(backend, "meta", None)
+
+        def predict_fn(_vars, image_u8):
+            pred = backend(image_u8.astype("float32") / 255.0)
+            return non_max_suppression_obb(
+                pred, num_classes=d["nc"], conf_thres=opt.conf_thres,
+                iou_thres=opt.iou_thres, max_det=opt.max_det, multi_label=True,
+            )
+    else:
+        model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
+        if opt.weights:
+            variables, _ = load_weights(opt.weights)
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     if opt.task == "speed":
@@ -91,6 +109,7 @@ def run(opt):
             model, variables, meta, dataset, batch_size=opt.batch_size,
             conf_thres=0.25, iou_thres=0.45, max_det=opt.max_det,
             verbose=True, max_images=opt.max_images or 64,
+            predict_fn=predict_fn,
         )
         print(f"speed: {res['speed_ms_per_img']:.2f} ms/img (bs={opt.batch_size})")
         return res
@@ -106,7 +125,7 @@ def run(opt):
         conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, max_det=opt.max_det,
         verbose=True, tta=getattr(opt, "augment", False),
         save_json=str(save_dir / "best_obb_predictions.json") if opt.save_json else None,
-        max_images=opt.max_images, mesh=mesh,
+        max_images=opt.max_images, mesh=mesh, predict_fn=predict_fn,
     )
     header = f"{'Class':>22}{'P':>10}{'R':>10}{'HBBmAP@.5':>12}{'HBBmAP@.5:.95':>15}"
     print(header)

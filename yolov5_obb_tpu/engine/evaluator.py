@@ -80,15 +80,19 @@ def evaluate(
     max_images: int | None = None,
     tta: bool = False,
     mesh=None,
+    predict_fn=None,
 ):
     """Run HBB-metric evaluation over `dataset`.
+
+    ``predict_fn(variables, image_u8) -> (dets, num)`` overrides the model
+    forward (used for exported-artifact backends).
 
     Returns dict with mp, mr, map50, map, per-class ap, speed stats, and the
     raw per-image detections (native-resolution polys) for downstream export.
     """
     names = dataset.names
     iouv = np.linspace(0.5, 0.95, 10)
-    predict = make_predict_fn(
+    predict = predict_fn or make_predict_fn(
         model, meta, conf_thres, iou_thres, max_det, multi_label=True, tta=tta,
         mesh=mesh,
     )
