@@ -117,3 +117,41 @@ def test_scale_polys_letterbox_roundtrip():
 def test_xywh_xyxy_roundtrip(rng):
     x = rng.uniform(0, 100, (16, 4))
     np.testing.assert_allclose(G.xyxy2xywh(G.xywh2xyxy(x)), x, atol=1e-9)
+
+
+def test_poly2rbox_degenerate_cases():
+    """Square boxes, axis-aligned boxes, and tiny boxes — the angle-edge
+    cases called out as reference-parity risks (cv2.minAreaRect quirks)."""
+    from yolov5_obb_tpu.ops.geometry import poly2rbox, rbox2poly
+
+    def square(cx, cy, s, t):
+        import numpy as np
+
+        base = np.array([[-s, -s], [s, -s], [s, s], [-s, s]], np.float64) / 2
+        c, si = np.cos(t), np.sin(t)
+        r = base @ np.array([[c, -si], [si, c]])
+        return (r + [cx, cy]).reshape(-1)
+
+    import numpy as np
+
+    polys = np.stack([
+        square(50, 50, 10, 0.0),          # axis-aligned square
+        square(50, 50, 10, np.pi / 4),    # 45-degree square
+        square(10, 10, 0.5, 0.3),         # tiny box
+        np.array([0, 0, 20, 0, 20, 4, 0, 4], np.float64),  # axis-aligned rect
+    ])
+    rb = poly2rbox(polys)
+    # long-edge convention holds
+    assert np.all(rb[:, 2] >= rb[:, 3] - 1e-6)
+    # theta in [-pi/2, pi/2)
+    assert np.all(rb[:, 4] >= -np.pi / 2 - 1e-6) and np.all(rb[:, 4] < np.pi / 2 + 1e-6)
+    # areas preserved
+    want_area = np.array([100.0, 100.0, 0.25, 80.0])
+    np.testing.assert_allclose(rb[:, 2] * rb[:, 3], want_area, rtol=1e-4)
+    # roundtrip poly → rbox → poly encloses the same region (vertex-set match
+    # up to cyclic order): compare sorted vertex multisets
+    back = rbox2poly(rb)
+    for p, q in zip(polys, back):
+        ps = np.sort(p.reshape(4, 2), axis=0)
+        qs = np.sort(np.asarray(q).reshape(4, 2), axis=0)
+        np.testing.assert_allclose(ps, qs, atol=1e-3)

@@ -280,7 +280,9 @@ class YoloModel(nn.Module):
                 name = f"m{spec.index}" if spec.repeats == 1 else f"m{spec.index}_{r}"
                 h = _build_module(spec, self.dtype, name)(h, train)
             y.append(h)
-        return out
+        # graphs without a Detect head (classification configs, truncated
+        # sub-graphs) yield the last layer's output
+        return out if out is not None else y[-1]
 
 
 # ---------------------------------------------------------------------------
