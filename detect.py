@@ -117,29 +117,15 @@ def run(opt):
         d = load_dataset_config(opt.data)
         names, nc = d["names"], d["nc"]
 
-    w = Path(opt.weights) if opt.weights else None
-    alt_backend = w is not None and (
-        w.suffix == ".stablehlo" or (w / "saved_model.pb").exists()
-    )
-    if alt_backend:
-        # exported-artifact inference (reference DetectMultiBackend): the
-        # artifact emits decoded (B, n_anchors, no) preds; NMS runs here
-        from yolov5_obb_tpu.models.backend import MultiBackend
-        from yolov5_obb_tpu.ops.rotated_nms import non_max_suppression_obb
+    from yolov5_obb_tpu.models.backend import is_artifact, make_backend_predict_fn
 
-        backend = MultiBackend(str(w), cfg=opt.cfg, nc=nc, imgsz=opt.imgsz)
-        names = names or backend.names
+    if opt.weights and is_artifact(opt.weights):
         if names is None:
-            raise SystemExit("--data (or artifact metadata) must provide names")
-        nc_eff = len(names)
-
-        def predict(_vars, image_u8):
-            pred = backend(image_u8.astype("float32") / 255.0)
-            return non_max_suppression_obb(  # already jitted
-                pred, num_classes=nc_eff, conf_thres=opt.conf_thres,
-                iou_thres=opt.iou_thres, max_det=opt.max_det, multi_label=True,
-            )
-
+            raise SystemExit("--data must provide names for exported artifacts")
+        predict, _ = make_backend_predict_fn(
+            opt.weights, opt.cfg, len(names), opt.imgsz, opt.conf_thres,
+            opt.iou_thres, opt.max_det, tta=getattr(opt, "augment", False),
+        )
         variables = None
     else:
         model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz)

@@ -77,6 +77,8 @@ def parse_opt():
     p.add_argument("--remat", action="store_true",
                    help="activation rematerialisation (larger batches, ~30% slower)")
     p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
+    p.add_argument("--wandb", action="store_true",
+                   help="enable W&B logging (also auto-enabled by WANDB_API_KEY)")
     p.add_argument("--evolve", type=int, default=0, help="hyp-evolution generations")
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--project", type=str, default="runs/train")
@@ -167,7 +169,13 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     )
     from yolov5_obb_tpu.utils.loggers import Loggers
 
-    loggers = Loggers(save_dir, include=("csv", "tb", "wandb"), hyp=hyp, opt=opt)
+    # wandb is opt-in (flag or API key in env) — wandb.init with the package
+    # installed but no login would hang training on an interactive prompt
+    import os
+
+    use_wandb = getattr(opt, "wandb", False) or bool(os.environ.get("WANDB_API_KEY"))
+    include = ("csv", "tb", "wandb") if use_wandb else ("csv", "tb")
+    loggers = Loggers(save_dir, include=include, hyp=hyp, opt=opt)
     loggers.log_dataset_artifact(opt.data)
     class_weights = (
         labels_to_class_weights(train_ds.cls, meta.nc) if opt.image_weights else None
@@ -252,8 +260,13 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
                 "names": d["names"], "cfg": opt.cfg, "imgsz": opt.imgsz,
             }
             save_checkpoint(save_dir / "last", state, ckpt_meta)
-            loggers.log_model_artifact(save_dir / "last", epoch, fit,
-                                       best=fit > best_fit)
+            # artifact upload only on new-best or at --save-period epochs —
+            # per-epoch uploads of the full checkpoint dir would be enormous
+            if fit > best_fit or (
+                opt.save_period > 0 and epoch % opt.save_period == 0
+            ):
+                loggers.log_model_artifact(save_dir / "last", epoch, fit,
+                                           best=fit > best_fit)
             callbacks.run("on_model_save", epoch=epoch, path=save_dir / "last")
             if fit > best_fit or val_ds is None:
                 best_fit = max(best_fit, fit)

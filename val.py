@@ -81,23 +81,16 @@ def run(opt):
         max_labels=1000,
     )
 
+    from yolov5_obb_tpu.models.backend import is_artifact, make_backend_predict_fn
+
     predict_fn = None
-    w = Path(opt.weights) if opt.weights else None
-    if w is not None and (w.suffix == ".stablehlo" or (w / "saved_model.pb").exists()):
+    if opt.weights and is_artifact(opt.weights):
         # exported-artifact backend (reference DetectMultiBackend in val)
-        from yolov5_obb_tpu.models.backend import MultiBackend
-        from yolov5_obb_tpu.ops.rotated_nms import non_max_suppression_obb
-
-        backend = MultiBackend(str(w), cfg=opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
-        model = variables = None
-        meta = getattr(backend, "meta", None)
-
-        def predict_fn(_vars, image_u8):
-            pred = backend(image_u8.astype("float32") / 255.0)
-            return non_max_suppression_obb(
-                pred, num_classes=d["nc"], conf_thres=opt.conf_thres,
-                iou_thres=opt.iou_thres, max_det=opt.max_det, multi_label=True,
-            )
+        predict_fn, _ = make_backend_predict_fn(
+            opt.weights, opt.cfg, d["nc"], opt.imgsz, opt.conf_thres,
+            opt.iou_thres, opt.max_det, tta=getattr(opt, "augment", False),
+        )
+        model = variables = meta = None
     else:
         model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
         if opt.weights:

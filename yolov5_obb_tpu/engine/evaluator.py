@@ -124,9 +124,11 @@ def evaluate(
         dets, num = predict(variables, x)
         return samples, dets, num
 
-    if n_img:  # warm/compile outside the timed region
+    if n_img:  # warm/compile outside the timed region; materialize to host —
+        # block_until_ready is not a reliable barrier on this runtime
         _w = _dispatch(0)
-        jax.block_until_ready(_w[1])
+        np.asarray(_w[1])
+        np.asarray(_w[2])
 
     t_start = time.perf_counter()
     pending = _dispatch(0) if n_img else None
@@ -182,10 +184,14 @@ def evaluate(
 
     t_infer = time.perf_counter() - t_start if n_img else 0.0
 
-    tp = np.concatenate([s[0] for s in stats]) if stats else np.zeros((0, 10), bool)
-    conf = np.concatenate([s[1] for s in stats])
-    cls = np.concatenate([s[2] for s in stats])
-    tcls = np.concatenate([s[3] for s in stats])
+    if stats:
+        tp = np.concatenate([s[0] for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        cls = np.concatenate([s[2] for s in stats])
+        tcls = np.concatenate([s[3] for s in stats])
+    else:  # empty dataset / --max-images 0 → zero metrics, no crash
+        tp = np.zeros((0, 10), bool)
+        conf = cls = tcls = np.zeros(0)
 
     if tp.size and tcls.size:
         p, r, ap, f1, cls_idx = ap_per_class(tp, conf, cls, tcls)

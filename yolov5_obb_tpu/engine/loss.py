@@ -38,6 +38,8 @@ DEFAULT_HYP = {
     "theta_pw": 1.0,
     "anchor_t": 4.0,
     "fl_gamma": 0.0,
+    "qfl_gamma": 0.0,  # >0: quality-focal modulation (overrides fl_gamma)
+    "bce_blur": 0.0,   # >0: BCEBlur missing-label alleviation on obj/cls
     "label_smoothing": 0.0,
 }
 
@@ -170,6 +172,20 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
     hyp = dict(hyp_static)
     cp, cn = smooth_bce(hyp.get("label_smoothing", 0.0))
     gamma = hyp.get("fl_gamma", 0.0)
+    qgamma = hyp.get("qfl_gamma", 0.0)
+    blur = hyp.get("bce_blur", 0.0)
+
+    def modulate(loss, logit, target):
+        if qgamma > 0:
+            return loss * qfocal_modulation(logit, target, qgamma)
+        if gamma > 0:
+            return loss * focal_modulation(logit, target, gamma)
+        return loss
+
+    def blur_factor(logit, target):
+        # reference BCEBlurWithLogitsLoss (loss.py:18-32)
+        dx = jax.nn.sigmoid(logit) - target
+        return 1.0 - jnp.exp((dx - 1.0) / (blur + 1e-4))
     nl = len(maps)
     balance = {3: (4.0, 1.0, 0.4)}.get(nl, (4.0, 1.0, 0.25, 0.06, 0.02))
 
@@ -227,8 +243,9 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
         )
         obj_logit = p[..., 4].reshape(B, ny * nx * na)
         obj_l = bce_with_logits(obj_logit, tobj, hyp["obj_pw"])
-        if gamma > 0:
-            obj_l = obj_l * focal_modulation(obj_logit, tobj, gamma)
+        obj_l = modulate(obj_l, obj_logit, tobj)
+        if blur > 0:
+            obj_l = obj_l * blur_factor(obj_logit, tobj)
         lobj = lobj + obj_l.mean() * balance[li]
 
         # --- classification ---------------------------------------------
@@ -241,8 +258,9 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
                 jax.nn.one_hot(tcls, nc, dtype=jnp.float32) > 0, cp, cn
             )
             cls_l = bce_with_logits(cls_logit, t_onehot, hyp["cls_pw"])
-            if gamma > 0:
-                cls_l = cls_l * focal_modulation(cls_logit, t_onehot, gamma)
+            cls_l = modulate(cls_l, cls_logit, t_onehot)
+            if blur > 0:
+                cls_l = cls_l * blur_factor(cls_logit, t_onehot)
             lcls = lcls + _masked_mean(
                 cls_l, jnp.broadcast_to(mflat[..., None], cls_l.shape)
             )
@@ -253,8 +271,7 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
             t_csl[:, :, None, None, :], (B, M, na, 5, THETA_BINS)
         ).reshape(B, K, THETA_BINS)
         th_l = bce_with_logits(th_logit, tth, hyp["theta_pw"])
-        if gamma > 0:
-            th_l = th_l * focal_modulation(th_logit, tth, gamma)
+        th_l = modulate(th_l, th_logit, tth)
         ltheta = ltheta + _masked_mean(
             th_l, jnp.broadcast_to(mflat[..., None], th_l.shape)
         )

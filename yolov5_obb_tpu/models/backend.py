@@ -74,3 +74,33 @@ class MultiBackend:
 
         self(jnp.zeros(shape, jnp.float32))
         return self
+
+
+def is_artifact(path) -> bool:
+    """True if ``path`` is an exported artifact rather than orbax weights."""
+    p = Path(path)
+    return p.suffix == ".stablehlo" or (p / "saved_model.pb").exists()
+
+
+def make_backend_predict_fn(weights, cfg, nc, imgsz, conf_thres, iou_thres,
+                            max_det, tta: bool = False):
+    """Exported-artifact path shared by val.py/detect.py: returns
+    ``(predict_fn(variables_ignored, image_u8) -> (dets, num), names)``.
+
+    The artifact emits decoded ``(B, n_anchors, no)`` predictions; rotated
+    NMS runs here. TTA needs the raw maps, which artifacts don't expose."""
+    if tta:
+        raise ValueError("--augment (TTA) is not supported with exported "
+                         "artifacts — use orbax weights")
+    from ..ops.rotated_nms import non_max_suppression_obb
+
+    backend = MultiBackend(str(weights), cfg=cfg, nc=nc, imgsz=imgsz)
+
+    def predict(_vars, image_u8):
+        pred = backend(image_u8.astype("float32") / 255.0)
+        return non_max_suppression_obb(
+            pred, num_classes=nc, conf_thres=conf_thres,
+            iou_thres=iou_thres, max_det=max_det, multi_label=True,
+        )
+
+    return predict, backend.names

@@ -39,19 +39,19 @@ def _hbb_cover(rboxes):
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
 
 
-def _hbb_iou_matrix(hbb, dtype=jnp.float32):
+def _hbb_iou_matrix(hbb):
     """(n,4) xyxy → (n,n) IoU.
 
-    ``dtype=bfloat16`` halves the dominant (n,n) traffic; use it when the
-    matrix only *ranks* prefilter candidates (a genuinely-overlapping pair's
-    IoU is far from the bf16 underflow of the >0 test, so no real neighbour
-    is ever dropped)."""
-    hbb = hbb.astype(dtype)
+    Math stays f32: casting the *coordinates* to bf16 would quantize a
+    few-pixel box at x~1000 to zero width (4-8 px coordinate spacing) and
+    silently drop true suppression edges. Only the materialized output may
+    be narrowed by the caller — XLA fuses these intermediates, so the f32
+    math costs no HBM traffic."""
     a1 = jnp.maximum(hbb[:, None, :2], hbb[None, :, :2])
     a2 = jnp.minimum(hbb[:, None, 2:], hbb[None, :, 2:])
     inter = jnp.clip(a2 - a1, 0).prod(-1)
     area = jnp.clip(hbb[:, 2:] - hbb[:, :2], 0).prod(-1)
-    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, jnp.asarray(1e-9, dtype))
+    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
 
 
 def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
@@ -97,16 +97,16 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         s = scores[order]
     valid = s > 0
 
-    hiou = _hbb_iou_matrix(_hbb_cover(b), dtype=jnp.bfloat16)  # (n, n)
+    hiou = _hbb_iou_matrix(_hbb_cover(b))  # (n, n)
     tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [j, i]: i<j in score
     edge_ok = tri & valid[None, :] & valid[:, None]
     if class_ids is not None:
         c = class_ids if presorted else class_ids[order]
         edge_ok = edge_ok & (c[:, None] == c[None, :])
-    # bf16 halves the top-k's input traffic; ranking cover-IoUs only decides
-    # WHICH pairs get exact verification, and bf16 rounding keeps positives
-    # positive (so no overlapping neighbour is dropped)
-    cand = jnp.where(edge_ok, hiou, jnp.asarray(-1.0, hiou.dtype))  # (n_j, n_i)
+    # the materialized candidate matrix is bf16 (halves the top-k's input
+    # traffic); an f32-positive IoU stays positive in bf16 (no underflow
+    # until 1e-38), so no overlapping neighbour is dropped by the cast
+    cand = jnp.where(edge_ok, hiou, -1.0).astype(jnp.bfloat16)  # (n_j, n_i)
 
     if approx_topk:
         # TPU-optimized approximate top-k (recall ~0.95 per row) — a missed

@@ -52,10 +52,15 @@ class _Worker(threading.Thread):
                 for _, reply in batch:
                     reply.put(("error", str(e)))
 
-    def infer(self, img, timeout=60.0):
+    def infer(self, img, timeout=600.0):
+        # generous default: the first request at each padded batch shape
+        # pays an XLA compile, which can take minutes on some runtimes
         reply: queue.Queue = queue.Queue()
         self.q.put((img, reply))
-        return reply.get(timeout=timeout)
+        try:
+            return reply.get(timeout=timeout)
+        except queue.Empty:
+            return "error", f"inference timed out after {timeout:.0f}s"
 
 
 def make_handler(worker: _Worker):
