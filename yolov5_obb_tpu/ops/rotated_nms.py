@@ -54,6 +54,22 @@ def _hbb_iou_matrix(hbb):
     return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
 
 
+def _riou_upper_bound(rboxes, hbb):
+    """(n,n) provable upper bound on the pairwise *rotated* IoU.
+
+    riou = I_r/U_r with I_r ≤ I_cover (each rbox ⊆ its cover, so their
+    intersection is inside the covers' intersection) and U_r ≥ max of the
+    two rbox areas — so riou ≤ inter_cover / max(areaA, areaB). Pairs whose
+    bound is below the NMS threshold provably cannot suppress, which makes
+    the top-M neighbour cap far harder to saturate than ranking by raw
+    cover IoU."""
+    a1 = jnp.maximum(hbb[:, None, :2], hbb[None, :, :2])
+    a2 = jnp.minimum(hbb[:, None, 2:], hbb[None, :, 2:])
+    inter = jnp.clip(a2 - a1, 0).prod(-1)
+    area = rboxes[:, 2] * rboxes[:, 3]  # exact rotated-box areas
+    return inter / jnp.maximum(jnp.maximum(area[:, None], area[None, :]), 1e-9)
+
+
 def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
                 max_neighbors: int = 64, approx_topk: bool = False,
                 presorted: bool = False):
@@ -64,10 +80,11 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
     nms_rotated_cuda.cu:13-68, which streams 64-box tiles for the same
     reason).  Instead:
 
-    1. cheap n×n IoU of the boxes' axis-aligned covers (a necessary
-       condition: rotated IoU > 0 ⇒ cover IoU > 0);
-    2. per box, the top-``max_neighbors`` most-cover-overlapping
-       *higher-scored* same-class boxes (sparse suppression graph);
+    1. cheap n×n *upper bound* on the rotated IoU from the axis-aligned
+       covers (riou ≤ inter_cover / max(areaA, areaB)) — pairs whose bound
+       is below ``iou_thr`` provably cannot suppress;
+    2. per box, the top-``max_neighbors`` highest-bound *higher-scored*
+       same-class boxes (sparse suppression graph);
     3. exact rotated IoU only on those n×M pairs;
     4. greedy resolution as a fixed-point sweep over the sparse graph
        (any fixed point of ``alive[j] = ¬∃ i→j : alive[i]`` in score order
@@ -97,16 +114,16 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         s = scores[order]
     valid = s > 0
 
-    hiou = _hbb_iou_matrix(_hbb_cover(b))  # (n, n)
+    ub = _riou_upper_bound(b, _hbb_cover(b))  # (n, n)
     tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [j, i]: i<j in score
-    edge_ok = tri & valid[None, :] & valid[:, None]
+    # only pairs whose rotated-IoU upper bound clears the threshold can
+    # suppress (see _riou_upper_bound); the slack keeps bf16 rounding of the
+    # materialized candidate matrix from masking a borderline true edge
+    edge_ok = tri & valid[None, :] & valid[:, None] & (ub > iou_thr * 0.98)
     if class_ids is not None:
         c = class_ids if presorted else class_ids[order]
         edge_ok = edge_ok & (c[:, None] == c[None, :])
-    # the materialized candidate matrix is bf16 (halves the top-k's input
-    # traffic); an f32-positive IoU stays positive in bf16 (no underflow
-    # until 1e-38), so no overlapping neighbour is dropped by the cast
-    cand = jnp.where(edge_ok, hiou, -1.0).astype(jnp.bfloat16)  # (n_j, n_i)
+    cand = jnp.where(edge_ok, ub, -1.0).astype(jnp.bfloat16)  # (n_j, n_i)
 
     if approx_topk:
         # TPU-optimized approximate top-k (recall ~0.95 per row) — a missed
