@@ -87,3 +87,28 @@ def test_serve_http_roundtrip(obb_model):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_detections_crop(obb_model, tmp_path):
+    from yolov5_obb_tpu.api import Detections
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (100, 160, 3), dtype=np.uint8)
+    # one rotated box: 40x20 at 30 degrees around (80, 50)
+    t = np.deg2rad(30)
+    c, s = np.cos(t), np.sin(t)
+    base = np.array([[-20, -10], [20, -10], [20, 10], [-20, 10]], float)
+    pts = base @ np.array([[c, -s], [s, c]]).T + [80, 50]
+    det = Detections([img.copy()], [pts.reshape(1, 8)],
+                     [np.array([0.9])], [np.array([2.0])],
+                     [f"c{i}" for i in range(15)], [None])
+
+    crops = det.crop(save_dir=tmp_path / "crops", rectify=True)
+    assert len(crops) == 1 and len(crops[0]) == 1
+    h, w = crops[0][0].shape[:2]
+    assert abs(w - 40) <= 2 and abs(h - 20) <= 2  # rectified to box dims
+    assert len(list((tmp_path / "crops").glob("*.png"))) == 1
+
+    hbb_crops = det.crop(rectify=False)
+    hh, ww = hbb_crops[0][0].shape[:2]
+    assert ww > 40 and hh > 20  # axis-aligned cover is larger

@@ -65,6 +65,43 @@ class Detections:
             annotate_detections(img, polys, confs, clses, self.names)
         return self.imgs
 
+    def crop(self, save_dir=None, rectify=True):
+        """Per-detection crops (reference Detections.crop, common.py:600-607).
+
+        ``rectify=True`` warps each oriented box upright (long edge
+        horizontal) — an OBB upgrade over the reference's axis-aligned
+        crops; ``False`` cuts the axis-aligned cover instead. Returns a
+        list (per image) of lists of BGR crops; optionally saves them."""
+        import cv2
+
+        out = []
+        for idx, (img, polys, confs, clses) in enumerate(
+            zip(self.imgs, self.polys, self.confs, self.clses)
+        ):
+            crops = []
+            for p, c, k in zip(polys, confs, clses):
+                pts = np.asarray(p, np.float32).reshape(4, 2)
+                if rectify:
+                    w = int(round(float(np.linalg.norm(pts[1] - pts[0])))) or 1
+                    h = int(round(float(np.linalg.norm(pts[2] - pts[1])))) or 1
+                    dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                                   np.float32)
+                    m = cv2.getPerspectiveTransform(pts, dst)
+                    crops.append(cv2.warpPerspective(img, m, (w, h)))
+                else:
+                    x0, y0 = np.maximum(pts.min(0).astype(int), 0)
+                    x1, y1 = pts.max(0).astype(int) + 1
+                    crops.append(img[y0:y1, x0:x1].copy())
+            out.append(crops)
+            if save_dir is not None:
+                d = Path(save_dir)
+                d.mkdir(parents=True, exist_ok=True)
+                stem = Path(self.paths[idx]).stem if self.paths[idx] else f"image{idx}"
+                for j, (crop, k) in enumerate(zip(crops, clses)):
+                    label = self.names[int(k)] if self.names else str(int(k))
+                    cv2.imwrite(str(d / f"{stem}_{label}_{j}.png"), crop)
+        return out
+
     def save(self, save_dir="runs/hub"):
         import cv2
 
