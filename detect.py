@@ -46,6 +46,8 @@ def parse_opt():
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--line-thickness", type=int, default=2)
+    p.add_argument("--visualize", action="store_true",
+                   help="save feature-map grids for the first frame")
     p.add_argument("--vid-stride", type=int, default=1,
                    help="stream frame-rate stride")
     p.add_argument("--max-frames", type=int, default=None,
@@ -163,6 +165,20 @@ def run(opt):
         img, ratio, pad = letterbox(im0, opt.imgsz, auto=False, scaleup=False)
         x = np.ascontiguousarray(img[:, :, ::-1])[None]  # BGR→RGB, add batch
         t1 = time.perf_counter()
+        if getattr(opt, "visualize", False) and variables is not None and n_frames == 1:
+            # reference --visualize (plots.py:162 feature_visualization)
+            from yolov5_obb_tpu.utils.plots import feature_visualization
+
+            _, inter = model.apply(
+                variables, jnp.asarray(x).astype(jnp.float32) / 255.0,
+                train=False, capture_intermediates=True, mutable=["intermediates"],
+            )
+            feats = inter["intermediates"]
+            for mname in sorted(k for k in feats if k.startswith("m"))[:8]:
+                out = feats[mname].get("__call__", (None,))[0]
+                if out is not None and not isinstance(out, (list, tuple)):
+                    feature_visualization(out, mname, save_dir / "features")
+            print(f"feature maps saved to {save_dir / 'features'}")
         dets, num = predict(variables, jnp.asarray(x))
         dets = np.asarray(dets)
         n = int(np.asarray(num)[0])

@@ -203,6 +203,14 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         mloss_dev = None
         nb = 0
         for batch in loader:
+            if epoch == start_epoch and nb == 0:
+                try:  # reference train_batch0.jpg mosaic (plots.py:221)
+                    from yolov5_obb_tpu.utils.plots import plot_images
+
+                    plot_images(batch.image, batch.targets, batch.target_mask,
+                                d["names"], save_dir / "train_batch0.png")
+                except Exception as e:
+                    print(f"train-batch plot failed: {e}")
             dev = put_batch(batch, mesh)
             state, m = step_fn(state, *dev)
             mloss_dev = m["items"] if mloss_dev is None else mloss_dev + m["items"]
@@ -318,6 +326,12 @@ def evolve(opt):
         _, fit = run(opt, hyp_override=hyp)
         log_generation(evolve_csv, hyp, {"map50": 0.0, "map": 0.0}, fit)
         print(f"evolve gen {gen}: fitness {fit:.4f}")
+    try:
+        from yolov5_obb_tpu.utils.plots import plot_evolve
+
+        plot_evolve(evolve_csv)
+    except Exception as e:
+        print(f"evolve plot failed: {e}")
     print(f"evolution complete → {evolve_csv}")
 
 

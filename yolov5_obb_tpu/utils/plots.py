@@ -147,3 +147,96 @@ def plot_confusion_matrix(matrix, names, save_path, normalize=True):
     fig.savefig(save_path, dpi=200)
     plt.close(fig)
     return save_path
+
+
+def plot_images(images, targets, target_mask, names, save_path, max_imgs=16):
+    """Training-batch mosaic with ground-truth rboxes drawn as polygons
+    (reference plots.py:221-305 plot_images).
+
+    Args:
+        images: (B, H, W, 3) uint8 RGB batch (as fed to the model).
+        targets: (B, M, >=6) padded rows ``[cls cx cy l s theta ...]``.
+        target_mask: (B, M) bool validity.
+        names: class names.
+        save_path: output png.
+    """
+    from ..ops.geometry import rbox2poly
+
+    b = min(len(images), max_imgs)
+    cols = int(np.ceil(np.sqrt(b)))
+    rows = int(np.ceil(b / cols))
+    h, w = images.shape[1:3]
+    canvas = np.full((rows * h, cols * w, 3), 255, np.uint8)
+    for i in range(b):
+        r, c = divmod(i, cols)
+        img = np.ascontiguousarray(images[i][:, :, ::-1])  # RGB→BGR for cv2
+        m = np.asarray(target_mask[i], bool)
+        t = np.asarray(targets[i])[m]
+        if len(t):
+            polys = rbox2poly(t[:, 1:6])
+            for p, k in zip(polys, t[:, 0]):
+                draw_poly(img, p, label=str(names[int(k)]), color=class_color(int(k)))
+        canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = img
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(save_path), canvas)
+    return save_path
+
+
+def plot_evolve(evolve_csv, save_path=None):
+    """Scatter each hyperparameter vs fitness (reference plots.py:442-466)."""
+    import csv as _csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = list(_csv.reader(open(evolve_csv)))
+    header, data = rows[0], np.array([[float(v) for v in r] for r in rows[1:]])
+    if not len(data):
+        return None
+    fit_idx = header.index("fitness") if "fitness" in header else len(header) - 1
+    fit = data[:, fit_idx]
+    hyp_cols = [j for j in range(len(header)) if j != fit_idx]
+    n = len(hyp_cols)
+    cols = int(np.ceil(np.sqrt(n)))
+    fig, axes = plt.subplots(int(np.ceil(n / cols)), cols,
+                             figsize=(3 * cols, 3 * np.ceil(n / cols)))
+    for ax, j in zip(np.ravel(axes), hyp_cols):
+        ax.scatter(data[:, j], fit, c=fit, cmap="viridis", s=16)
+        best = data[fit.argmax(), j]
+        ax.scatter(best, fit.max(), marker="*", c="r", s=80)
+        ax.set_title(f"{header[j]} = {best:.3g}", fontsize=8)
+    for ax in np.ravel(axes)[n:]:
+        ax.axis("off")
+    save_path = save_path or Path(evolve_csv).with_suffix(".png")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
+def feature_visualization(x, module_name, save_dir, n_max=32):
+    """Save a grid of a layer's feature-map channels
+    (reference plots.py:162-186). ``x``: (B, H, W, C) activation."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x, np.float32)
+    if x.ndim != 4 or x.shape[1] < 2 or x.shape[2] < 2:
+        return None
+    ch = min(x.shape[-1], n_max)
+    cols = 8
+    rows = int(np.ceil(ch / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(cols * 1.4, rows * 1.4))
+    for i, ax in enumerate(np.ravel(axes)):
+        ax.axis("off")
+        if i < ch:
+            ax.imshow(x[0, :, :, i], cmap="gray")
+    out = Path(save_dir) / f"{module_name}_features.png"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return out
