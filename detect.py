@@ -48,6 +48,9 @@ def parse_opt():
     p.add_argument("--line-thickness", type=int, default=2)
     p.add_argument("--visualize", action="store_true",
                    help="save feature-map grids for the first frame")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (bfloat16 ≈ the reference's --half)")
     p.add_argument("--vid-stride", type=int, default=1,
                    help="stream frame-rate stride")
     p.add_argument("--max-frames", type=int, default=None,
@@ -130,7 +133,12 @@ def run(opt):
         )
         variables = None
     else:
-        model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz)
+        dt = (
+            jnp.bfloat16
+            if getattr(opt, "dtype", "float32") == "bfloat16" else jnp.float32
+        )
+        model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz,
+                                              dtype=dt)
         if opt.weights:
             variables, wmeta = load_weights(opt.weights)
             names = names or wmeta.get("names")

@@ -42,6 +42,9 @@ def parse_opt():
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard eval batches over N devices (0 = single device)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (bfloat16 ≈ the reference's --half)")
     p.add_argument("--hyp", type=str, default=None)
     p.add_argument("--project", type=str, default="runs/val")
     p.add_argument("--name", type=str, default="exp")
@@ -92,7 +95,11 @@ def run(opt):
         )
         model = variables = meta = None
     else:
-        model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz)
+        import jax.numpy as jnp
+
+        dt = jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16" else jnp.float32
+        model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz,
+                                              dtype=dt)
         if opt.weights:
             variables, _ = load_weights(opt.weights)
 
