@@ -143,3 +143,31 @@ def test_load_streams_from_video_file(tmp_path):
     assert len(frames) == 1 and frames[0].shape == (48, 64, 3)
     assert fps[0] > 0
     assert not any(streams.alive)
+
+
+def test_loader_determinism(mini_dota):
+    """Same seed → bit-identical augmented batches (incl. mosaic/perspective);
+    different seed → different batches. SURVEY §7 step-6 determinism bar."""
+    hyp = dict(HYP)
+    hyp.update(mosaic=1.0, fliplr=0.5, degrees=10.0, scale=0.3)
+
+    def epoch(seed):
+        ds = DotaDataset(
+            mini_dota / "images", DOTA_V1_NAMES, img_size=128, hyp=hyp,
+            augment=True, max_labels=16,
+        )
+        it = create_dataloader(ds, batch_size=2, num_epochs=1, seed=seed,
+                               shuffle=True)
+        return list(it)
+
+    a, b = epoch(7), epoch(7)
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba.image, bb.image)
+        np.testing.assert_array_equal(ba.targets, bb.targets)
+        np.testing.assert_array_equal(ba.target_mask, bb.target_mask)
+
+    c = epoch(8)
+    assert any(
+        not np.array_equal(ba.image, bc.image) for ba, bc in zip(a, c)
+    )
