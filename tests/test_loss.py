@@ -185,3 +185,16 @@ def test_aux_loss_variants():
     ratio_fp = float(blur[1] / plain[1])
     ratio_tp = float(blur[3] / plain[3])
     assert ratio_fp < ratio_tp  # false positives reduced more than positives
+
+
+def test_loss_variant_hyps_finite():
+    """qfl_gamma / bce_blur / fl_gamma hyp keys all produce finite, positive
+    losses that differ from the plain BCE configuration."""
+    meta, maps, targets, t_mask = _toy_setup()
+    base = {"box": 0.05, "obj": 1.0, "cls": 0.5, "theta": 0.5}
+    plain, _ = ComputeLoss(meta, base)(maps, targets, t_mask)
+    for extra in ({"fl_gamma": 1.5}, {"qfl_gamma": 1.5}, {"bce_blur": 0.05}):
+        total, items = ComputeLoss(meta, {**base, **extra})(maps, targets, t_mask)
+        assert np.isfinite(float(total)) and float(total) > 0, extra
+        assert np.isfinite(np.asarray(items)).all(), extra
+        assert float(total) != float(plain), extra  # variant actually applied
