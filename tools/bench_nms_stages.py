@@ -111,7 +111,7 @@ def main():
     def s4(rb, scores, cls):
         keep = jax.vmap(
             lambda b, s, c: RN.nms_rotated(b, s, 0.45, class_ids=c,
-                                           approx_topk=True, presorted=True)
+                                           presorted=True)
         )(rb, scores, cls)
         return jnp.sum(keep)
 

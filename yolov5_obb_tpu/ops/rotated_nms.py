@@ -71,8 +71,7 @@ def _riou_upper_bound(rboxes, hbb):
 
 
 def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
-                max_neighbors: int = 64, approx_topk: bool = False,
-                presorted: bool = False):
+                max_neighbors: int = 64, presorted: bool = False):
     """Greedy rotated NMS over static-shaped inputs — sparse exact algorithm.
 
     A dense n×n exact rotated-IoU matrix materialises n²·24-point clip
@@ -125,12 +124,13 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         edge_ok = edge_ok & (c[:, None] == c[None, :])
     cand = jnp.where(edge_ok, ub, -1.0).astype(jnp.bfloat16)  # (n_j, n_i)
 
-    if approx_topk:
-        # TPU-optimized approximate top-k (recall ~0.95 per row) — a missed
-        # edge only risks keeping an extra near-duplicate box
-        nbr_iou, nbr_idx = jax.lax.approx_max_k(cand, M)
-    else:
-        nbr_iou, nbr_idx = jax.lax.top_k(cand, M)  # (n, M)
+    # neighbor selection is EXACT top-k: approx_max_k's ~0.95 recall can
+    # miss a true suppressor edge (duplicate detections slip through),
+    # and measures only ~0.45 ms/img faster (tools/bench_topk.py) — not
+    # worth trading the exact-greedy guarantee. The `approx_topk` flag
+    # only governs the callers' score-candidate selection, where a miss
+    # merely swaps near-threshold low-score candidates.
+    nbr_iou, nbr_idx = jax.lax.top_k(cand, M)  # (n, M)
     nbr_valid = nbr_iou > 0.0
 
     # exact rotated IoU on the sparse pairs only; on TPU the Pallas kernel
@@ -249,7 +249,7 @@ def non_max_suppression_obb(
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)  # (k, 5)
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            approx_topk=approx_topk, presorted=True,  # top_k output is sorted
+            presorted=True,  # top_k output is sorted
         )
         final = jnp.where(keep, scores, 0.0)
         top_s, top_i = jax.lax.top_k(final, max_det)
@@ -346,7 +346,7 @@ def non_max_suppression_from_maps(
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            approx_topk=approx_topk, presorted=True,  # top_k output is sorted
+            presorted=True,  # top_k output is sorted
         )
         final = jnp.where(keep, scores, 0.0)
         top_s, top_i = jax.lax.top_k(final, max_det)
