@@ -42,7 +42,14 @@ def parse_opt():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-crop", action="store_true",
+                   help="save rotation-rectified per-detection crops")
     p.add_argument("--nosave", action="store_true", help="skip annotated images")
+    p.add_argument("--classes", type=int, nargs="+", default=None,
+                   help="keep only these class ids")
+    p.add_argument("--agnostic-nms", action="store_true",
+                   help="class-agnostic suppression")
+    p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--line-thickness", type=int, default=2)
@@ -148,6 +155,8 @@ def run(opt):
         predict = make_predict_fn(
             model, meta, opt.conf_thres, opt.iou_thres, opt.max_det,
             multi_label=True, tta=getattr(opt, "augment", False),
+            agnostic=getattr(opt, "agnostic_nms", False),
+            classes=getattr(opt, "classes", None),
         )
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
@@ -195,6 +204,12 @@ def run(opt):
         t_inf += t2 - t1
 
         d = dets[0, :n]
+        if variables is None and getattr(opt, "classes", None):
+            # exported-artifact backend: NMS config is baked into the graph,
+            # so the --classes filter applies host-side (equivalent for the
+            # per-class suppression the artifacts are exported with)
+            d = d[np.isin(d[:, 6].astype(int), opt.classes)]
+            n = len(d)
         polys = rbox2poly(d[:, :5]) if n else np.zeros((0, 8))
         if n:
             polys = scale_polys((opt.imgsz, opt.imgsz), polys, im0.shape[:2])
@@ -213,10 +228,22 @@ def run(opt):
                 "\n".join(lines) + "\n" if lines else ""
             )
 
+        if getattr(opt, "save_crop", False) and n:
+            from yolov5_obb_tpu.api import obb_crop
+
+            stem = f.stem if frame_idx is None else f"{f.stem}_{frame_idx}"
+            crop_dir = save_dir / "crops"
+            for k in range(n):
+                cname = names[int(cls[k])] if int(cls[k]) < len(names) else str(int(cls[k]))
+                out = crop_dir / cname
+                out.mkdir(parents=True, exist_ok=True)
+                cv2.imwrite(str(out / f"{stem}_{k}.png"), obb_crop(im0, polys[k]))
+
         if not opt.nosave:
             annotate_detections(
                 im0, polys, conf, cls, names,
                 line_width=opt.line_thickness, hide_conf=opt.hide_conf,
+                hide_labels=getattr(opt, "hide_labels", False),
             )
             if frame_idx is None:
                 cv2.imwrite(str(save_dir / f.name), im0)

@@ -171,3 +171,36 @@ def test_loader_determinism(mini_dota):
     assert any(
         not np.array_equal(ba.image, bc.image) for ba, bc in zip(a, c)
     )
+
+
+def test_single_cls_zeroes_classes(mini_dota):
+    ds = DotaDataset(
+        mini_dota / "images", DOTA_V1_NAMES, img_size=256, hyp=HYP,
+        augment=False, max_labels=32, single_cls=True,
+    )
+    assert all((c == 0).all() for c in ds.cls)
+    s = ds.get_eval_sample(0)
+    n = int(s["target_mask"].sum())
+    assert n > 0 and (s["targets"][:n, 0] == 0).all()
+
+
+@pytest.mark.parametrize("mode", ["ram", "disk"])
+def test_image_cache_identical_and_isolated(mini_dota, tmp_path, mode):
+    kw = dict(img_size=256, hyp=HYP, augment=False, max_labels=32,
+              cache_dir=tmp_path / "cache")
+    plain = DotaDataset(mini_dota / "images", DOTA_V1_NAMES, **kw)
+    cached = DotaDataset(mini_dota / "images", DOTA_V1_NAMES,
+                         cache_images=mode, **kw)
+    for i in range(len(plain)):
+        a = plain.load_image(i)
+        b = cached.load_image(i)   # fills cache
+        c = cached.load_image(i)   # cache hit
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[0], c[0])
+        np.testing.assert_allclose(a[1], c[1])
+        assert a[3] == c[3]
+    # mutation of a returned image must not poison the cache
+    img, *_ = cached.load_image(0)
+    img[:] = 0
+    img2, *_ = cached.load_image(0)
+    assert img2.max() > 0

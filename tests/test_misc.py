@@ -257,3 +257,24 @@ def test_dota_to_mmdet_json(mini_dota_session, tmp_path):
     for b in ann["bboxes"] + ann["bboxes_ignore"]:
         assert len(b) == 5  # [cx cy l s theta]
         assert b[2] >= b[3] - 1e-6  # long-edge convention
+
+
+def test_bundled_configs_parse():
+    """Every bundled hyp/dataset yaml loads and carries the required keys."""
+    from pathlib import Path
+
+    import yaml
+
+    cfg_dir = Path("yolov5_obb_tpu/data/configs")
+    hyps = sorted(cfg_dir.glob("hyp_*.yaml"))
+    assert len(hyps) >= 4
+    need = {"lr0", "lrf", "momentum", "box", "cls", "obj", "theta",
+            "theta_pw", "cls_theta", "csl_radius", "anchor_t", "mosaic"}
+    for h in hyps:
+        d = yaml.safe_load(h.read_text())
+        missing = need - d.keys()
+        assert not missing, f"{h.name} missing {missing}"
+        assert d["cls_theta"] == 180
+    for ds in ("dotav1", "dotav15", "dotav2", "dronevehicle"):
+        d = yaml.safe_load((cfg_dir / f"{ds}.yaml").read_text())
+        assert len(d["names"]) == d["nc"], ds

@@ -106,3 +106,38 @@ def test_batched_decode_multilabel():
         max_candidates=16, max_det=8, multi_label=True,
     )
     assert int(num[0]) == 2  # one detection per class survives class-aware NMS
+
+
+def test_classes_filter_and_agnostic():
+    """--classes keeps only listed ids; --agnostic suppresses across classes."""
+    nc = 3
+    N = 64
+    pred = np.zeros((1, N, 5 + nc + 180), np.float32)
+    # box A: class 1, strong; box B: same spot, class 2, weaker
+    for j, (c, score) in enumerate([(1, 0.95), (2, 0.9)]):
+        pred[0, j, :4] = [100, 100, 40, 20]
+        pred[0, j, 4] = score
+        pred[0, j, 5 + c] = 0.99
+        pred[0, j, 5 + nc + 120] = 1.0
+    # box C: far away, class 0
+    pred[0, 7, :4] = [400, 400, 50, 25]
+    pred[0, 7, 4] = 0.8
+    pred[0, 7, 5 + 0] = 0.9
+    pred[0, 7, 5 + nc + 90] = 1.0
+
+    kw = dict(num_classes=nc, conf_thres=0.25, iou_thres=0.45,
+              max_candidates=32, max_det=8, approx_topk=False)
+
+    dets, num = non_max_suppression_obb(pred, **kw)
+    assert int(num[0]) == 3  # per-class NMS: A and B both survive
+
+    dets, num = non_max_suppression_obb(pred, agnostic=True, **kw)
+    assert int(num[0]) == 2  # agnostic: B suppressed by A
+
+    dets, num = non_max_suppression_obb(pred, classes=(0,), **kw)
+    assert int(num[0]) == 1
+    assert dets[0, 0, 6] == 0  # only the class-0 box kept
+
+    dets, num = non_max_suppression_obb(pred, classes=(0, 2), **kw)
+    kept = sorted(int(c) for c in np.asarray(dets[0, : int(num[0]), 6]))
+    assert kept == [0, 2]

@@ -65,6 +65,14 @@ def parse_opt():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--noval", action="store_true")
     p.add_argument("--nosave", action="store_true")
+    p.add_argument("--noautoanchor", action="store_true",
+                   help="skip the anchor-fit check / k-means evolution")
+    p.add_argument("--single-cls", action="store_true",
+                   help="train as a single-class dataset")
+    p.add_argument("--label-smoothing", type=float, default=None,
+                   help="cls BCE label smoothing epsilon (overrides hyp)")
+    p.add_argument("--cache", type=str, default=None, choices=["ram", "disk"],
+                   help="cache resized images in RAM or on disk")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
@@ -98,26 +106,37 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     init_seeds(opt.seed)
     d = load_dataset_config(opt.data)
     hyp = hyp_override or load_hyp(opt.hyp)
+    if getattr(opt, "label_smoothing", None) is not None:
+        hyp["label_smoothing"] = float(opt.label_smoothing)
+    single_cls = bool(getattr(opt, "single_cls", False))
+    # --single-cls: annotations are parsed with the dataset's real class names
+    # (the DotaDataset zeroes the class ids) but the model/metrics see one
+    # class (reference train.py: nc=1, names=['item'])
+    nc = 1 if single_cls else d["nc"]
+    names = ["item"] if single_cls and len(d["names"]) != 1 else d["names"]
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     print(f"run dir: {save_dir}; devices: {jax.devices()}")
 
     # --- data ---------------------------------------------------------
+    cache_images = getattr(opt, "cache", None)
     train_ds = DotaDataset(
         d["train"], d["names"], img_size=opt.imgsz, hyp=hyp, augment=True,
         max_labels=opt.max_labels, cache_dir=save_dir / "cache",
+        single_cls=single_cls, cache_images=cache_images,
     )
     val_ds = None
     if not opt.noval and d.get("val"):
         val_ds = DotaDataset(
             d["val"], d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,
             max_labels=1000, cache_dir=save_dir / "cache",
+            single_cls=single_cls, cache_images=cache_images,
         )
     steps_per_epoch = max(len(train_ds) // opt.batch_size, 1)
 
     # --- model / loss / optimizer -------------------------------------
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     model, variables, meta = create_model(
-        opt.cfg, nc=d["nc"], dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
+        opt.cfg, nc=nc, dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
         imgsz=opt.imgsz,
     )
     if opt.weights:
@@ -125,6 +144,19 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
         loaded, _ = load_weights(opt.weights)
         variables = loaded
+
+    # anchor-fit check + k-means/GA evolution (reference train.py:241,
+    # autoanchor.py:30-80). Anchors live in meta (not params), so an update
+    # flows into both the loss assignment and the decode without re-init.
+    if not getattr(opt, "noautoanchor", False) and not opt.resume:
+        from yolov5_obb_tpu.utils.autoanchor import check_anchors
+
+        try:
+            meta.anchors_px = check_anchors(
+                train_ds, meta, thr=hyp.get("anchor_t", 4.0), imgsz=opt.imgsz
+            )
+        except Exception as e:
+            print(f"autoanchor check failed (continuing with config anchors): {e}")
 
     hyp_scaled = scale_hyp_gains(hyp, meta.nl, meta.nc, opt.imgsz)
     loss_fn = ComputeLoss(meta, hyp_scaled)
@@ -208,7 +240,7 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
                     from yolov5_obb_tpu.utils.plots import plot_images
 
                     plot_images(batch.image, batch.targets, batch.target_mask,
-                                d["names"], save_dir / "train_batch0.png")
+                                names, save_dir / "train_batch0.png")
                 except Exception as e:
                     print(f"train-batch plot failed: {e}")
             dev = put_batch(batch, mesh)
@@ -265,7 +297,7 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         if not opt.nosave:
             ckpt_meta = {
                 "epoch": epoch, "best_fitness": max(best_fit, fit),
-                "names": d["names"], "cfg": opt.cfg, "imgsz": opt.imgsz,
+                "names": names, "cfg": opt.cfg, "imgsz": opt.imgsz,
             }
             save_checkpoint(save_dir / "last", state, ckpt_meta)
             # artifact upload only on new-best or at --save-period epochs —

@@ -45,6 +45,8 @@ def parse_opt():
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype (bfloat16 ≈ the reference's --half)")
+    p.add_argument("--single-cls", action="store_true",
+                   help="evaluate as a single-class dataset")
     p.add_argument("--hyp", type=str, default=None)
     p.add_argument("--project", type=str, default="runs/val")
     p.add_argument("--name", type=str, default="exp")
@@ -78,10 +80,13 @@ def run(opt):
         print(f"study results saved to {out}")
         return rows
 
+    # --single-cls: parse with real names, zero class ids, model sees nc=1
+    single_cls = bool(getattr(opt, "single_cls", False))
+    nc = 1 if single_cls else d["nc"]
     split = d.get(opt.task if opt.task != "speed" else "val") or d["val"]
     dataset = DotaDataset(
         split, d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,
-        max_labels=1000,
+        max_labels=1000, single_cls=single_cls,
     )
 
     from yolov5_obb_tpu.models.backend import is_artifact, make_backend_predict_fn
@@ -90,7 +95,7 @@ def run(opt):
     if opt.weights and is_artifact(opt.weights):
         # exported-artifact backend (reference DetectMultiBackend in val)
         predict_fn, _ = make_backend_predict_fn(
-            opt.weights, opt.cfg, d["nc"], opt.imgsz, opt.conf_thres,
+            opt.weights, opt.cfg, nc, opt.imgsz, opt.conf_thres,
             opt.iou_thres, opt.max_det, tta=getattr(opt, "augment", False),
         )
         model = variables = meta = None
@@ -98,7 +103,7 @@ def run(opt):
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16" else jnp.float32
-        model, variables, meta = create_model(opt.cfg, nc=d["nc"], imgsz=opt.imgsz,
+        model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz,
                                               dtype=dt)
         if opt.weights:
             variables, _ = load_weights(opt.weights)
@@ -133,7 +138,9 @@ def run(opt):
     for name, m in res["per_class"].items():
         print(f"{name:>22}{m['p']:>10.3f}{m['r']:>10.3f}{m['ap50']:>12.4f}{m['ap']:>15.4f}")
     if opt.save_task1:
-        save_dota_task1(res["detections"], d["names"], save_dir / "task1_raw")
+        save_dota_task1(res["detections"],
+                        ["item"] if single_cls else d["names"],
+                        save_dir / "task1_raw")
         print(f"Task1 txts saved to {save_dir / 'task1_raw'}")
     print(f"Results saved to {save_dir}")
     return res

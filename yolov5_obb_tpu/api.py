@@ -24,6 +24,27 @@ from .utils.checkpoint import load_weights
 from .utils.plots import annotate_detections
 
 
+def obb_crop(img, poly, rectify: bool = True):
+    """Cut one detection from a BGR image given its 8-point polygon.
+
+    ``rectify=True`` warps the oriented box upright (long edge horizontal) —
+    an OBB upgrade over the reference's axis-aligned ``save_one_box``;
+    ``False`` cuts the axis-aligned cover instead."""
+    import cv2
+
+    pts = np.asarray(poly, np.float32).reshape(4, 2)
+    if rectify:
+        w = int(round(float(np.linalg.norm(pts[1] - pts[0])))) or 1
+        h = int(round(float(np.linalg.norm(pts[2] - pts[1])))) or 1
+        dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
+                       np.float32)
+        m = cv2.getPerspectiveTransform(pts, dst)
+        return cv2.warpPerspective(img, m, (w, h))
+    x0, y0 = np.maximum(pts.min(0).astype(int), 0)
+    x1, y1 = pts.max(0).astype(int) + 1
+    return img[y0:y1, x0:x1].copy()
+
+
 class Detections:
     """Per-image oriented detections (reference models/common.py:527-625)."""
 
@@ -78,20 +99,7 @@ class Detections:
         for idx, (img, polys, confs, clses) in enumerate(
             zip(self.imgs, self.polys, self.confs, self.clses)
         ):
-            crops = []
-            for p, c, k in zip(polys, confs, clses):
-                pts = np.asarray(p, np.float32).reshape(4, 2)
-                if rectify:
-                    w = int(round(float(np.linalg.norm(pts[1] - pts[0])))) or 1
-                    h = int(round(float(np.linalg.norm(pts[2] - pts[1])))) or 1
-                    dst = np.array([[0, 0], [w - 1, 0], [w - 1, h - 1], [0, h - 1]],
-                                   np.float32)
-                    m = cv2.getPerspectiveTransform(pts, dst)
-                    crops.append(cv2.warpPerspective(img, m, (w, h)))
-                else:
-                    x0, y0 = np.maximum(pts.min(0).astype(int), 0)
-                    x1, y1 = pts.max(0).astype(int) + 1
-                    crops.append(img[y0:y1, x0:x1].copy())
+            crops = [obb_crop(img, p, rectify) for p in polys]
             out.append(crops)
             if save_dir is not None:
                 d = Path(save_dir)

@@ -114,6 +114,8 @@ class DotaDataset:
         cache_dir: str | None = None,
         stride: int = 32,
         verify: bool = False,
+        single_cls: bool = False,
+        cache_images: str | None = None,
     ):
         self.img_files = _scan_images(path)
         if verify:
@@ -127,6 +129,22 @@ class DotaDataset:
         self.max_labels = int(max_labels)
         self.stride = stride
         self._load_labels(cache_dir)
+        if single_cls:  # treat all objects as one class (reference --single-cls)
+            self.cls = [np.zeros_like(c) for c in self.cls]
+        # image cache (reference --cache ram|disk, datasets.py:494-514). Filled
+        # lazily on first access instead of an eager preload pass: epoch 1 pays
+        # decode cost once, later epochs hit the cache.
+        if cache_images not in (None, "", "ram", "disk"):
+            raise ValueError(f"cache_images must be ram|disk, got {cache_images!r}")
+        if cache_images == "disk" and not cache_dir:
+            raise ValueError("cache_images='disk' requires cache_dir")
+        self.cache_images = cache_images or None
+        self._ram_cache: dict = {}
+        self._disk_cache_dir = (
+            Path(cache_dir) / f"imgs_{self.img_size}" if cache_images == "disk" else None
+        )
+        if self._disk_cache_dir is not None:
+            self._disk_cache_dir.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -170,8 +188,11 @@ class DotaDataset:
             cache_path = Path(cache_dir) / f"labels_{self._cache_key()}.npz"
             if cache_path.exists():
                 z = np.load(cache_path, allow_pickle=True)
-                self.polys = list(z["polys"])
-                self.cls = list(z["cls"])
+                # stored as dtype=object; restore concrete float32 arrays
+                self.polys = [
+                    np.asarray(p, np.float32).reshape(-1, 8) for p in z["polys"]
+                ]
+                self.cls = [np.asarray(c, np.float32).reshape(-1) for c in z["cls"]]
                 return
         self.polys, self.cls = [], []
         for lf in self.label_files:
@@ -192,7 +213,15 @@ class DotaDataset:
     # ------------------------------------------------------------------
     def load_image(self, i):
         """Read + resize so max(h,w) == img_size (reference load_image),
-        scaling labels to match. Returns (img BGR, polys, cls, (h0, w0))."""
+        scaling labels to match. Returns (img BGR, polys, cls, (h0, w0)).
+
+        With ``cache_images`` set, the *resized* image is cached (RAM dict or
+        .npy on disk) and a copy is returned — augmentations mutate in place."""
+        cached = self._cached_image(i)
+        if cached is not None:
+            img, r, (h0, w0) = cached
+            polys = self.polys[i] * r if r != 1 else self.polys[i]
+            return img, polys.copy(), self.cls[i].copy(), (h0, w0)
         img = cv2.imread(self.img_files[i])
         if img is None:
             raise FileNotFoundError(f"image not found: {self.img_files[i]}")
@@ -206,7 +235,30 @@ class DotaDataset:
                 interpolation=cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA,
             )
             polys = polys * r
+        self._store_image(i, img, r, (h0, w0))
         return img, polys.copy(), self.cls[i].copy(), (h0, w0)
+
+    def _cached_image(self, i):
+        """Return (resized-img copy, scale, (h0, w0)) on cache hit else None."""
+        if self.cache_images == "ram":
+            hit = self._ram_cache.get(i)
+            if hit is not None:
+                img, r, hw0 = hit
+                return img.copy(), r, hw0
+        elif self.cache_images == "disk":
+            p = self._disk_cache_dir / f"{i}.npz"
+            if p.exists():
+                z = np.load(p)
+                return z["img"], float(z["r"]), tuple(int(v) for v in z["hw0"])
+        return None
+
+    def _store_image(self, i, img, r, hw0):
+        if self.cache_images == "ram":
+            self._ram_cache[i] = (img.copy(), r, hw0)
+        elif self.cache_images == "disk":
+            p = self._disk_cache_dir / f"{i}.npz"
+            if not p.exists():
+                np.savez(p, img=img, r=np.float64(r), hw0=np.asarray(hw0, np.int64))
 
     # ------------------------------------------------------------------
     def _encode(self, polys, cls, img_shape):

@@ -170,7 +170,9 @@ def voc_xml_to_dota(xml_dir, out_dir, name_map=None):
             if name_map:
                 name = name_map.get(name, name)
             diff = obj.findtext("difficult") or "0"
-            pb = obj.find("polygon") or obj.find("point")
+            pb = obj.find("polygon")
+            if pb is None:  # Element truthiness is has-children, not existence
+                pb = obj.find("point")
             if pb is not None:
                 vals = [float(pb.findtext(f"{ax}{i}") or 0)
                         for i in range(1, 5) for ax in ("x", "y")]

@@ -25,13 +25,18 @@ from ..utils.metrics import ap_per_class, process_batch_hbb
 
 
 def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=True,
-                    max_candidates=4096, tta: bool = False, mesh=None):
+                    max_candidates=4096, tta: bool = False, mesh=None,
+                    agnostic: bool = False, classes=None):
     """Jitted image→detections function; shared by val/detect.
     ``tta`` enables multi-scale + flip augmented inference.
 
     ``mesh``: optional 1-D data mesh — the batch shards across its devices
     (replicated params, XLA-SPMD inference; every op here is batch-leading
-    so no collectives are needed until the host pulls results)."""
+    so no collectives are needed until the host pulls results).
+
+    ``agnostic``/``classes``: class-agnostic suppression and a static keep
+    filter of class ids (reference --agnostic-nms / --classes)."""
+    classes = tuple(int(c) for c in classes) if classes is not None else None
 
     from ..ops.rotated_nms import non_max_suppression_from_maps
 
@@ -55,12 +60,13 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
                 pred, num_classes=meta.nc, conf_thres=conf_thres,
                 iou_thres=iou_thres, max_candidates=max_candidates,
                 max_det=max_det, multi_label=multi_label,
+                agnostic=agnostic, classes=classes,
             )
         maps = model.apply(variables, x, train=False)
         return non_max_suppression_from_maps(
             maps, meta, conf_thres=conf_thres, iou_thres=iou_thres,
             max_candidates=max_candidates, max_det=max_det,
-            multi_label=multi_label,
+            multi_label=multi_label, agnostic=agnostic, classes=classes,
         )
 
     return predict

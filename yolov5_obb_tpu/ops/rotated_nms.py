@@ -177,6 +177,16 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
     return jnp.zeros_like(alive).at[order].set(alive)
 
 
+def _apply_class_filter(cls_conf, classes, nc: int):
+    """Zero the confidence of classes outside ``classes`` (a static tuple of
+    kept ids) — reference ``--classes`` filter (general.py:833-835) applied
+    before candidate selection, so excluded classes never enter NMS."""
+    if classes is None:
+        return cls_conf
+    keep = jnp.zeros((nc,), cls_conf.dtype).at[jnp.asarray(classes)].set(1.0)
+    return cls_conf * keep
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -188,6 +198,7 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         "multi_label",
         "agnostic",
         "approx_topk",
+        "classes",
     ),
 )
 def non_max_suppression_obb(
@@ -200,6 +211,7 @@ def non_max_suppression_obb(
     multi_label: bool = False,
     agnostic: bool = False,
     approx_topk: bool = True,
+    classes: tuple | None = None,
 ):
     """Batched decode + rotated NMS of raw head outputs.
 
@@ -220,6 +232,7 @@ def non_max_suppression_obb(
     boxes = prediction[..., :4]
     obj = prediction[..., 4]
     cls_conf = prediction[..., 5 : 5 + nc] * obj[..., None]  # conf = obj * cls
+    cls_conf = _apply_class_filter(cls_conf, classes, nc)
 
     B, N = obj.shape
     k = min(max_candidates, N * nc if multi_label else N)
@@ -278,6 +291,7 @@ def non_max_suppression_from_maps(
     multi_label: bool = False,
     agnostic: bool = False,
     approx_topk: bool = True,
+    classes: tuple | None = None,
 ):
     """Decode + NMS fused over raw Detect maps — avoids materialising the
     full ``(B, N, 5+nc+180)`` sigmoid tensor (~800 MB at b16/1024): only
@@ -306,7 +320,7 @@ def non_max_suppression_from_maps(
         obj_l.append(obj.reshape(B, n))
         theta_logits_l.append(p[..., 5 + nc :].reshape(B, n, no - 5 - nc))
     boxes = jnp.concatenate(boxes_l, 1)
-    cls_conf = jnp.concatenate(conf_l, 1)
+    cls_conf = _apply_class_filter(jnp.concatenate(conf_l, 1), classes, nc)
     obj = jnp.concatenate(obj_l, 1)
     level_sizes = [t.shape[1] for t in theta_logits_l]
     level_offsets = [0]

@@ -34,11 +34,14 @@ def draw_poly(img, poly, label: str | None = None, color=None, line_width: int =
     return img
 
 
-def annotate_detections(img, polys, confs, clses, names, line_width=2, hide_conf=False):
+def annotate_detections(img, polys, confs, clses, names, line_width=2,
+                        hide_conf=False, hide_labels=False):
     """Draw all detections; img is BGR uint8 (modified in place)."""
     for poly, conf, c in zip(polys, confs, clses):
         name = names[int(c)] if names and int(c) < len(names) else str(int(c))
-        label = name if hide_conf else f"{name} {conf:.2f}"
+        label = (
+            None if hide_labels else name if hide_conf else f"{name} {conf:.2f}"
+        )
         draw_poly(img, poly, label, class_color(int(c)), line_width)
     return img
 
