@@ -52,13 +52,20 @@ def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
         weights=str(save_dir / "best") if (save_dir / "best").exists() else "",
         cfg="yolov5n.yaml", data=str(data_yaml), task="val", imgsz=128,
         batch_size=2, conf_thres=0.01, iou_thres=0.4, max_det=100,
-        max_images=None, save_json=True, save_task1=True, hyp=None,
+        max_images=None, save_json=True, save_task1=True, save_txt=True,
+        save_conf=True, hyp=None,
         project=str(tmp_path / "runs/val"), name="exp", exist_ok=True,
     )
     res = val_cli.run(vopt)
     assert 0.0 <= res["map50"] <= 1.0
     assert (tmp_path / "runs/val/exp/best_obb_predictions.json").exists()
     assert list((tmp_path / "runs/val/exp/task1_raw").glob("Task1_*.txt"))
+    labels = list((tmp_path / "runs/val/exp/labels").glob("*.txt"))
+    assert labels, "val --save-txt produced no label files"
+    for line in labels[0].read_text().splitlines():
+        vals = line.split()
+        assert len(vals) == 6  # cls cx cy w h conf
+        assert all(0.0 <= float(v) <= 1.5 for v in vals[1:5])
 
     # --- detect CLI ----------------------------------------------------
     dopt = types.SimpleNamespace(

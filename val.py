@@ -38,6 +38,10 @@ def parse_opt():
     p.add_argument("--max-det", type=int, default=1500)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--save-json", action="store_true")
+    p.add_argument("--save-txt", action="store_true",
+                   help="per-image normalized HBB txts (labels/<stem>.txt)")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append confidence to --save-txt rows")
     p.add_argument("--save-task1", action="store_true", help="per-class Task1 txts for devkit merge")
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--mesh", type=int, default=0,
@@ -137,6 +141,24 @@ def run(opt):
     print(f"{'all':>22}{res['mp']:>10.3f}{res['mr']:>10.3f}{res['map50']:>12.4f}{res['map']:>15.4f}")
     for name, m in res["per_class"].items():
         print(f"{name:>22}{m['p']:>10.3f}{m['r']:>10.3f}{m['ap50']:>12.4f}{m['ap']:>15.4f}")
+    if getattr(opt, "save_txt", False):
+        # reference val.py save_one_txt: normalized HBB `cls cx cy w h [conf]`
+        from yolov5_obb_tpu.ops.geometry import poly2hbb
+
+        lab_dir = save_dir / "labels"
+        lab_dir.mkdir(parents=True, exist_ok=True)
+        for rec in res["detections"]:
+            h0, w0 = rec["hw"]
+            lines = []
+            for poly, conf, c in zip(rec["polys"], rec["conf"], rec["cls"]):
+                cx, cy, w, h = poly2hbb(poly[None])[0]
+                row = [int(c), cx / w0, cy / h0, w / w0, h / h0]
+                if getattr(opt, "save_conf", False):
+                    row.append(float(conf))
+                lines.append(" ".join(f"{v:g}" for v in row))
+            (lab_dir / f"{Path(rec['path']).stem}.txt").write_text(
+                "\n".join(lines) + "\n" if lines else "")
+        print(f"HBB txts saved to {lab_dir}")
     if opt.save_task1:
         save_dota_task1(res["detections"],
                         ["item"] if single_cls else d["names"],

@@ -171,7 +171,8 @@ def evaluate(
             tp = process_batch_hbb(det_xyxy, conf, cls, gt_xyxy, gt_cls, iouv)
             stats.append((tp, conf, cls, gt_cls))
             all_dets.append(
-                {"path": dataset.img_files[s["index"]], "polys": polys, "conf": conf, "cls": cls}
+                {"path": dataset.img_files[s["index"]], "polys": polys,
+                 "conf": conf, "cls": cls, "hw": (int(h0), int(w0))}
             )
             if save_json is not None:
                 stem = Path(dataset.img_files[s["index"]]).stem
