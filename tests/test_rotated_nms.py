@@ -141,3 +141,30 @@ def test_classes_filter_and_agnostic():
     dets, num = non_max_suppression_obb(pred, classes=(0, 2), **kw)
     kept = sorted(int(c) for c in np.asarray(dets[0, : int(num[0]), 6]))
     assert kept == [0, 2]
+
+
+def test_neighbor_order_paths_agree():
+    """Sort-free score-order selection == top-k selection when rows don't
+    overflow the cap, and both match the greedy oracle."""
+    from yolov5_obb_tpu.ops.rotated_nms import nms_rotated
+
+    rng = np.random.default_rng(3)
+    n = 128
+    rb = np.zeros((n, 5), np.float32)
+    rb[:, 0] = rng.uniform(0, 300, n)
+    rb[:, 1] = rng.uniform(0, 300, n)
+    rb[:, 2] = rng.uniform(20, 80, n)
+    rb[:, 3] = rb[:, 2] * rng.uniform(0.3, 1.0, n)
+    rb[:, 4] = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    sc = rng.uniform(0.05, 1.0, n).astype(np.float32)
+    k_score = np.asarray(nms_rotated(rb, sc, 0.3, neighbor_order="score"))
+    k_iou = np.asarray(nms_rotated(rb, sc, 0.3, neighbor_order="iou"))
+    assert np.array_equal(k_score, k_iou)
+
+    def iou_fn(a, b):
+        pa = G.rbox2poly(a[None])[0]
+        pb = G.rbox2poly(b[None])[0]
+        return poly_iou(pa, pb)
+
+    oracle = nms_rotated_np(rb, sc, 0.3, iou_fn)
+    assert np.array_equal(k_score, oracle)
