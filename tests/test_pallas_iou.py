@@ -61,3 +61,58 @@ def test_kernel_matches_exact_on_hard_pairs():
     np.testing.assert_allclose(got, want, atol=5e-3)
     np.testing.assert_allclose(got[:50], 1.0, atol=1e-3)
     np.testing.assert_allclose(got[100:150], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("M", [16, 64])
+def test_fused_neighbor_iou_matches_xla_reference(M):
+    """Fused Pallas neighbor-select+IoU == XLA path (_first_m_neighbors +
+    exact rotated IoU) on random candidates, incl. class masking and padding."""
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.pallas.neighbor_kernel import fused_neighbor_iou
+    from yolov5_obb_tpu.ops.rotated_iou import rotated_iou
+    from yolov5_obb_tpu.ops.rotated_nms import (
+        _first_m_neighbors,
+        _hbb_cover,
+    )
+
+    rng = np.random.default_rng(5)
+    n, thr = 128, 0.45
+    rb = np.zeros((n, 5), np.float32)
+    rb[:, 0] = rng.uniform(0, 400, n)
+    rb[:, 1] = rng.uniform(0, 400, n)
+    rb[:, 2] = rng.uniform(20, 90, n)
+    rb[:, 3] = rb[:, 2] * rng.uniform(0.3, 1.0, n)
+    rb[:, 4] = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    cls = rng.integers(0, 3, n).astype(np.int32)
+    valid = np.ones(n, bool)
+    valid[-7:] = False  # padding tail
+
+    # --- XLA reference (same semantics as nms_rotated's score path) -----
+    b = jnp.asarray(rb)
+    hbb = _hbb_cover(b)
+    a1 = jnp.maximum(hbb[:, None, :2], hbb[None, :, :2])
+    a2 = jnp.minimum(hbb[:, None, 2:], hbb[None, :, 2:])
+    inter = jnp.clip(a2 - a1, 0).prod(-1)
+    area = b[:, 2] * b[:, 3]
+    cap = (thr * 0.98) * jnp.maximum(area[:, None], area[None, :])
+    tri = np.tril(np.ones((n, n), bool), k=-1)
+    edge = (
+        np.asarray(inter > cap) & tri & (cls[:, None] == cls[None, :])
+        & valid[None, :] & valid[:, None]
+    )
+    ref_idx, ref_valid = _first_m_neighbors(jnp.asarray(edge), M)
+    ref_idx, ref_valid = np.asarray(ref_idx), np.asarray(ref_valid)
+    pair_b = rb[ref_idx.reshape(-1)].reshape(n, M, 5)
+    riou = np.asarray(rotated_iou(b[:, None, :], jnp.asarray(pair_b)))
+    ref_sup = ref_valid & (riou > thr)
+
+    # --- fused kernel (interpret mode off-TPU) --------------------------
+    idx, sup = fused_neighbor_iou(
+        b, jnp.asarray(cls), jnp.asarray(valid), thr, max_neighbors=M
+    )
+    idx, sup = np.asarray(idx), np.asarray(sup)
+
+    assert np.array_equal(idx[ref_valid], ref_idx[ref_valid])
+    assert np.array_equal(sup, ref_sup)
+    assert sup.any(), "test data produced no suppression edges"

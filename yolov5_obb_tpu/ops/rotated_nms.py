@@ -149,6 +149,26 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         s = scores[order]
     valid = s > 0
 
+    # TPU fast path: edge test + first-M compaction + exact pair IoU fused
+    # in one VMEM-resident Pallas pass (ops/pallas/neighbor_kernel.py) —
+    # skips the (n, n) cumsum/one-hot HBM passes and the pair gather
+    if (
+        neighbor_order == "score"
+        and jax.default_backend() == "tpu"
+        and n % 128 == 0
+        and M <= 128
+        and 128 % M == 0
+    ):
+        from .pallas.neighbor_kernel import fused_neighbor_iou
+
+        c = None
+        if class_ids is not None:
+            c = class_ids if presorted else class_ids[order]
+        nbr_idx, sup_in = fused_neighbor_iou(
+            b, c, valid, float(iou_thr), max_neighbors=M
+        )
+        return _resolve_greedy(sup_in, nbr_idx, valid, n, order)
+
     tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [j, i]: i<j in score
     # only pairs whose rotated-IoU upper bound clears the threshold can
     # suppress (see _riou_upper_bound); the 0.98 slack keeps float rounding
@@ -193,14 +213,19 @@ def nms_rotated(rboxes, scores, iou_thr: float, class_ids=None,
         pair_b = b[nbr_idx]  # (n, M, 5)
         riou = rotated_iou(b[:, None, :], pair_b)  # (n, M)
     sup_in = nbr_valid & (riou > iou_thr)  # j suppressed-by-edge from nbr_idx[j,m]
+    return _resolve_greedy(sup_in, nbr_idx, valid, n, order)
 
-    # Densify the sparse edges into an (n, n) 0/1 matrix ONCE, so each
-    # fixed-point sweep is an MXU matvec instead of an (n, M) gather — TPU
-    # gathers/scatters run ~1 elem/cycle and dominated this kernel's runtime.
-    # The build itself is a one-hot comparison fused into the any-reduce
-    # (S[j,i] = ∃m: nbr_idx[j,m]==i ∧ sup[j,m]); measured ~8x faster than the
-    # equivalent scatter (tools/bench_scatter_vs_compare.py). bf16 is exact
-    # for {0,1} and matvec row sums ≤ M << 256.
+
+def _resolve_greedy(sup_in, nbr_idx, valid, n, order):
+    """Sparse suppression edges → greedy-NMS keep mask.
+
+    Densify the sparse edges into an (n, n) 0/1 matrix ONCE, so each
+    fixed-point sweep is an MXU matvec instead of an (n, M) gather — TPU
+    gathers/scatters run ~1 elem/cycle and dominated this kernel's runtime.
+    The build itself is a one-hot comparison fused into the any-reduce
+    (S[j,i] = ∃m: nbr_idx[j,m]==i ∧ sup[j,m]); measured ~8x faster than the
+    equivalent scatter (tools/bench_scatter_vs_compare.py). bf16 is exact
+    for {0,1} and matvec row sums ≤ M << 256."""
     iota_n = jnp.arange(n, dtype=nbr_idx.dtype)
     S = jnp.any(
         (nbr_idx[:, :, None] == iota_n[None, None, :]) & sup_in[:, :, None],
@@ -342,6 +367,7 @@ def non_max_suppression_from_maps(
     agnostic: bool = False,
     approx_topk: bool = True,
     classes: tuple | None = None,
+    theta_dense_argmax: bool = True,
 ):
     """Decode + NMS fused over raw Detect maps — avoids materialising the
     full ``(B, N, 5+nc+180)`` sigmoid tensor (~800 MB at b16/1024): only
@@ -397,15 +423,26 @@ def non_max_suppression_from_maps(
             scores, box_idx = topk(flat, k)
             cls_id = cls_id_all[box_idx]
 
-        # theta logits gathered per level for the k candidates only — avoids
-        # both a (N, 180) concat copy and an argmax over all anchors
-        th = jnp.zeros((k, theta_levels[0].shape[-1]), theta_levels[0].dtype)
-        for off, sz, tl in zip(level_offsets, level_sizes, theta_levels):
-            local = box_idx - off
-            in_level = (local >= 0) & (local < sz)
-            g = tl[jnp.clip(local, 0, sz - 1)]
-            th = jnp.where(in_level[:, None], g, th)
-        theta_idx = jnp.argmax(th, axis=-1)
+        if theta_dense_argmax:
+            # per-anchor argmax over the 180 bins BEFORE selection (dense
+            # lane reduce, VPU-cheap), then a scalar gather per candidate —
+            # beats gathering (k, 180) logit rows (TPU gathers ~1 elem/cycle)
+            theta_idx = jnp.zeros((k,), jnp.int32)
+            for off, sz, tl in zip(level_offsets, level_sizes, theta_levels):
+                dense = jnp.argmax(tl, axis=-1).astype(jnp.int32)  # (sz,)
+                local = box_idx - off
+                in_level = (local >= 0) & (local < sz)
+                g = dense[jnp.clip(local, 0, sz - 1)]
+                theta_idx = jnp.where(in_level, g, theta_idx)
+        else:
+            # gather the (k, 180) logit rows, then argmax candidates only
+            th = jnp.zeros((k, theta_levels[0].shape[-1]), theta_levels[0].dtype)
+            for off, sz, tl in zip(level_offsets, level_sizes, theta_levels):
+                local = box_idx - off
+                in_level = (local >= 0) & (local < sz)
+                g = tl[jnp.clip(local, 0, sz - 1)]
+                th = jnp.where(in_level[:, None], g, th)
+            theta_idx = jnp.argmax(th, axis=-1)
         theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)
         keep = nms_rotated(
