@@ -168,3 +168,40 @@ def test_neighbor_order_paths_agree():
 
     oracle = nms_rotated_np(rb, sc, 0.3, iou_fn)
     assert np.array_equal(k_score, oracle)
+
+def test_compact_dets_matches_topk_formulation():
+    """_compact_dets ≡ the lax.top_k(final, max_det) + gather formulation it
+    replaced (including tie order, overflow truncation, and padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.rotated_nms import _compact_dets
+
+    rng = np.random.default_rng(3)
+    for n, max_det, kept_frac in [(64, 16, 0.5), (64, 16, 0.1), (32, 64, 0.4),
+                                  (128, 128, 1.0)]:
+        rb = rng.uniform(0, 500, (n, 5)).astype(np.float32)
+        # descending scores with deliberate ties and zero (invalid) tail rows
+        scores = np.sort(rng.choice([0.9, 0.7, 0.5, 0.3], n))[::-1].copy()
+        scores[-4:] = 0.0
+        scores = scores.astype(np.float32)
+        cls_id = rng.integers(0, 5, n).astype(np.int32)
+        keep = rng.random(n) < kept_frac
+
+        det, num = _compact_dets(jnp.asarray(rb), jnp.asarray(scores),
+                                 jnp.asarray(cls_id), jnp.asarray(keep), max_det)
+        det, num = np.asarray(det), int(num)
+
+        final = np.where(keep, scores, 0.0)
+        k = min(max_det, n)
+        top_i = np.argsort(-final, kind="stable")[:k]
+        top_s = final[top_i]
+        want = np.concatenate(
+            [rb[top_i], top_s[:, None], cls_id[top_i].astype(np.float32)[:, None]],
+            axis=-1,
+        ) * (top_s > 0)[:, None]
+        if max_det > n:
+            want = np.pad(want, ((0, max_det - n), (0, 0)))
+        assert det.shape == (max_det, 7)
+        np.testing.assert_allclose(det, want, atol=1e-6, err_msg=f"{n},{max_det}")
+        assert num == int((top_s > 0).sum())

@@ -62,7 +62,9 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
                 max_det=max_det, multi_label=multi_label,
                 agnostic=agnostic, classes=classes,
             )
-        maps = model.apply(variables, x, train=False)
+        # flat=True: Detect emits (B, n, no) levels — avoids the 5-D layout's
+        # sublane padding (na=3→8) on every decode read (see rotated_nms)
+        maps = model.apply(variables, x, train=False, flat=True)
         return non_max_suppression_from_maps(
             maps, meta, conf_thres=conf_thres, iou_thres=iou_thres,
             max_candidates=max_candidates, max_det=max_det,

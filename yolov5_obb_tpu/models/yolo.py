@@ -172,7 +172,8 @@ class Detect(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Sequence[jax.Array], train: bool = False):
+    def __call__(self, xs: Sequence[jax.Array], train: bool = False,
+                 flat: bool = False):
         no = self.nc + 5 + THETA_BINS
         outs = []
         for li, x in enumerate(xs):
@@ -181,7 +182,15 @@ class Detect(nn.Module):
                 dtype=self.dtype, param_dtype=jnp.float32, name=f"conv{li}",
             )(x)
             b, ny, nx, _ = y.shape
-            outs.append(y.reshape(b, ny, nx, self.na, no).astype(jnp.float32))
+            if flat:
+                # (b, ny*nx*na, no): anchor index varies fastest, matching the
+                # 5-D view's reshape order.  TPU-layout motivation: the 5-D
+                # (…, na, no) form puts na=3 on the sublane dim (padded 3→8,
+                # ~2.7x HBM inflation on every decode read); the flat form's
+                # minor dims (n, no) pad only 200→256.
+                outs.append(y.reshape(b, ny * nx * self.na, no).astype(jnp.float32))
+            else:
+                outs.append(y.reshape(b, ny, nx, self.na, no).astype(jnp.float32))
         return outs
 
 
@@ -260,7 +269,7 @@ class YoloModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, flat: bool = False):
         y: list = []
         out = None
 
@@ -271,7 +280,7 @@ class YoloModel(nn.Module):
             f = spec.frm
             if spec.name == "Detect":
                 out = Detect(self.nc, self.na, dtype=self.dtype, name=f"m{spec.index}")(
-                    [fetch(j) for j in f], train
+                    [fetch(j) for j in f], train, flat=flat
                 )
                 y.append(None)
                 continue
