@@ -22,11 +22,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from yolov5_obb_tpu.engine.evaluator import make_predict_fn
+    from yolov5_obb_tpu.engine.evaluator import make_predict_fn, pack_images
     from yolov5_obb_tpu.models.yolo import create_model
 
+    packed = jax.default_backend() == "tpu"
     model, variables, meta = create_model(
-        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ
+        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
+        packed_stem=packed,
     )
     predict = make_predict_fn(
         model, meta, conf_thres=0.25, iou_thres=0.45, max_det=1500,
@@ -45,6 +47,9 @@ def main():
     # (~2 ms/img here, ~0 on a production host).
     xs = [
         jax.device_put(
+            pack_images(rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3),
+                                     dtype=np.uint8))
+            if packed else
             rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
         )
         for _ in range(3)

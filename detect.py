@@ -21,7 +21,7 @@ import numpy as np
 
 from yolov5_obb_tpu.data.augment import letterbox
 from yolov5_obb_tpu.data.dota import IMG_EXTS
-from yolov5_obb_tpu.engine.evaluator import make_predict_fn
+from yolov5_obb_tpu.engine.evaluator import make_predict_fn, pack_images
 from yolov5_obb_tpu.models.yolo import create_model
 from yolov5_obb_tpu.ops.geometry import rbox2poly, scale_polys
 from yolov5_obb_tpu.utils.checkpoint import load_weights
@@ -144,8 +144,13 @@ def run(opt):
             jnp.bfloat16
             if getattr(opt, "dtype", "float32") == "bfloat16" else jnp.float32
         )
+        import jax
+
+        # TPU: fused Pallas stem on the packed u8 feed (inference only)
+        packed = (jax.default_backend() == "tpu"
+                  and not getattr(opt, "augment", False))
         model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz,
-                                              dtype=dt)
+                                              dtype=dt, packed_stem=packed)
         if opt.weights:
             variables, wmeta = load_weights(opt.weights)
             names = names or wmeta.get("names")
@@ -186,8 +191,12 @@ def run(opt):
             # reference --visualize (plots.py:162 feature_visualization)
             from yolov5_obb_tpu.utils.plots import feature_visualization
 
+            if getattr(model, "packed_stem", False):
+                vis_x = jnp.asarray(pack_images(x))
+            else:
+                vis_x = jnp.asarray(x).astype(jnp.float32) / 255.0
             _, inter = model.apply(
-                variables, jnp.asarray(x).astype(jnp.float32) / 255.0,
+                variables, vis_x,
                 train=False, capture_intermediates=True, mutable=["intermediates"],
             )
             feats = inter["intermediates"]
@@ -196,7 +205,10 @@ def run(opt):
                 if out is not None and not isinstance(out, (list, tuple)):
                     feature_visualization(out, mname, save_dir / "features")
             print(f"feature maps saved to {save_dir / 'features'}")
-        dets, num = predict(variables, jnp.asarray(x))
+        if getattr(predict, "packed_stem", False):
+            dets, num = predict(variables, jnp.asarray(pack_images(x)))
+        else:
+            dets, num = predict(variables, jnp.asarray(x))
         dets = np.asarray(dets)
         n = int(np.asarray(num)[0])
         t2 = time.perf_counter()

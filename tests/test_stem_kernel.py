@@ -1,0 +1,52 @@
+"""Fused Pallas stem (ingest + Conv6/2 + BN + SiLU) vs the stock module."""
+
+import numpy as np
+
+
+def test_fused_stem_matches_convbnact(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models.layers import ConvBnAct
+    from yolov5_obb_tpu.ops.pallas.stem_kernel import (fold_stem_params,
+                                                       fused_stem)
+
+    B, H, W, C2 = 2, 64, 64, 48
+    img = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+
+    mod = ConvBnAct(C2, 6, 2, 2, dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    # non-trivial BN statistics
+    stats = {
+        "mean": jnp.asarray(rng.normal(0, 0.5, (C2,)), jnp.float32),
+        "var": jnp.asarray(rng.uniform(0.5, 2.0, (C2,)), jnp.float32),
+    }
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {"BatchNorm_0": stats},
+    }
+
+    ref = mod.apply(variables, jnp.asarray(img, jnp.float32) / 255.0,
+                    train=False)
+
+    w108, bias = fold_stem_params(
+        variables["params"]["Conv_0"]["kernel"],
+        variables["params"]["BatchNorm_0"]["scale"],
+        variables["params"]["BatchNorm_0"]["bias"],
+        stats["mean"], stats["var"],
+    )
+    # use_pallas=True: exercise the kernel under the Pallas interpreter
+    got = fused_stem(jnp.asarray(img.reshape(B, H, -1)), w108, bias, H, W,
+                     use_pallas=True)
+    # and the XLA fallback must agree too
+    got_xla = fused_stem(jnp.asarray(img.reshape(B, H, -1)), w108, bias, H, W,
+                         use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got_xla, np.float32),
+                               np.asarray(got, np.float32), atol=2e-2, rtol=2e-2)
+
+    assert got.shape == (B, H // 2, W // 2, C2)
+    ref, got = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    # bf16 compute path: tolerance ~bf16 epsilon on O(1) activations
+    np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
+    # and the bulk must be much tighter than the worst case
+    assert np.median(np.abs(got - ref)) < 5e-3

@@ -104,11 +104,15 @@ def run(opt):
         )
         model = variables = meta = None
     else:
+        import jax
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16" else jnp.float32
+        # TPU: fused Pallas stem on the packed u8 feed (inference only)
+        packed = (jax.default_backend() == "tpu"
+                  and not getattr(opt, "augment", False))
         model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz,
-                                              dtype=dt)
+                                              dtype=dt, packed_stem=packed)
         if opt.weights:
             variables, _ = load_weights(opt.weights)
 

@@ -30,6 +30,11 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
     """Jitted image→detections function; shared by val/detect.
     ``tta`` enables multi-scale + flip augmented inference.
 
+    If ``model.packed_stem`` is set (TPU fast path), the returned function
+    expects the image batch as the packed ``(B, H, W*3)`` uint8 view (see
+    ``pack_images``) and skips the /255 normalize — it is folded into the
+    stem weights.
+
     ``mesh``: optional 1-D data mesh — the batch shards across its devices
     (replicated params, XLA-SPMD inference; every op here is batch-leading
     so no collectives are needed until the host pulls results).
@@ -49,12 +54,17 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
     else:
         jit_kw = {}
 
+    packed = bool(getattr(model, "packed_stem", False))
+    if packed and tta:
+        raise ValueError("packed_stem and tta are mutually exclusive "
+                         "(TTA transforms the unpacked image)")
+
     @functools.partial(jax.jit, **jit_kw)
     def predict(variables, image_u8):
-        x = image_u8.astype(jnp.float32) / 255.0
         if tta:
             from ..models.tta import predict_tta
 
+            x = image_u8.astype(jnp.float32) / 255.0
             pred = predict_tta(model, variables, meta, x)
             return non_max_suppression_obb(
                 pred, num_classes=meta.nc, conf_thres=conf_thres,
@@ -64,6 +74,7 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
             )
         # flat=True: Detect emits (B, n, no) levels — avoids the 5-D layout's
         # sublane padding (na=3→8) on every decode read (see rotated_nms)
+        x = image_u8 if packed else image_u8.astype(jnp.float32) / 255.0
         maps = model.apply(variables, x, train=False, flat=True)
         return non_max_suppression_from_maps(
             maps, meta, conf_thres=conf_thres, iou_thres=iou_thres,
@@ -71,7 +82,17 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
             multi_label=multi_label, agnostic=agnostic, classes=classes,
         )
 
+    predict.packed_stem = packed
     return predict
+
+
+def pack_images(batch_u8):
+    """NHWC uint8 batch → the packed ``(B, H, W*3)`` view a packed-stem
+    predict fn expects.  A zero-copy reshape for contiguous arrays."""
+    import numpy as np
+
+    b = np.ascontiguousarray(batch_u8)
+    return b.reshape(b.shape[0], b.shape[1], -1)
 
 
 def evaluate(
@@ -123,6 +144,8 @@ def evaluate(
         samples = [dataset.get_eval_sample(i) for i in idxs]
         pad = batch_size - len(samples)
         batch_imgs = np.stack([s["image"] for s in samples + [samples[-1]] * pad])
+        if getattr(predict, "packed_stem", False):
+            batch_imgs = pack_images(batch_imgs)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -67,6 +67,68 @@ class ConvBnAct(nn.Module):
         return nn.silu(x).astype(self.dtype) if self.act else x.astype(self.dtype)
 
 
+class _StemConvParams(nn.Module):
+    """Parameter-only twin of the stem ``nn.Conv`` — same scope/param names
+    so variables interchange freely with :class:`ConvBnAct`."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (6, 6, 3, self.c2),
+            jnp.float32,
+        )
+
+
+class _StemBnParams(nn.Module):
+    """Parameter-only twin of the stem ``nn.BatchNorm``."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.c2,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.c2,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.c2,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class PackedStem(nn.Module):
+    """Inference-only fused image ingest + stem Conv(6,2,2)+BN+SiLU.
+
+    Takes the image as a packed ``(B, H, W*3)`` uint8 *view* (a free host
+    reshape of the NHWC batch) — the NHWC C=3 feed is lane-padded 3→128 on
+    TPU (~42x HBM inflation just to read it; tools/bench_stem_layout.py).
+    The /255 normalize and the BatchNorm affine fold into the conv weights
+    (``fold_stem_params``), and a Pallas kernel computes the convolution
+    from the unpadded layout (ops/pallas/stem_kernel.py).
+
+    The parameter tree is identical to ``ConvBnAct(c2, 6, 2, 2)`` — trained
+    checkpoints load into either module unchanged.
+    """
+
+    c2: int
+    dtype: DType = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_packed, train: bool = False):
+        if train:
+            raise ValueError("PackedStem is inference-only (BN stats frozen)")
+        from ..ops.pallas.stem_kernel import fold_stem_params, fused_stem
+
+        kernel = _StemConvParams(self.c2, name="Conv_0")()
+        scale, bias, mean, var = _StemBnParams(self.c2, name="BatchNorm_0")()
+        w108, b = fold_stem_params(kernel, scale, bias, mean, var)
+        B, H, W3 = x_packed.shape
+        return fused_stem(x_packed, w108, b, H, W3 // 3).astype(self.dtype)
+
+
 class DWConv(nn.Module):
     """Depthwise-separable conv (reference models/common.py:52-55)."""
 

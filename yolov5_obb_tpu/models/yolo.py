@@ -261,12 +261,20 @@ def _build_module(spec: LayerSpec, dtype, name: str):
 
 
 class YoloModel(nn.Module):
-    """The full backbone+PAN+Detect graph built from a parsed spec."""
+    """The full backbone+PAN+Detect graph built from a parsed spec.
+
+    ``packed_stem``: inference-only TPU fast path — ``__call__`` then takes
+    the RAW image as a packed ``(B, H, W*3)`` uint8 view (the /255 normalize
+    folds into the stem weights) and layer 0 runs as the fused Pallas stem
+    (models/layers.PackedStem; identical parameter tree to the stock stem).
+    Requires the config's first layer to be ``Conv(c2, 6, 2, 2)``.
+    """
 
     specs: tuple  # tuple[LayerSpec]
     nc: int
     na: int
     dtype: Any = jnp.float32
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, flat: bool = False):
@@ -276,7 +284,17 @@ class YoloModel(nn.Module):
         def fetch(j):
             return (y[-1] if y else x) if j == -1 else y[j]
 
-        for spec in self.specs:
+        if self.packed_stem:
+            s0 = self.specs[0]
+            if not (s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]):
+                raise ValueError(
+                    f"packed_stem needs a Conv(c2, 6, 2) first layer, got "
+                    f"{s0.name}{tuple(s0.args)}"
+                )
+            x = L.PackedStem(s0.args[1], dtype=self.dtype, name="m0")(x, train)
+            y.append(x)
+
+        for spec in self.specs[1 if self.packed_stem else 0:]:
             f = spec.frm
             if spec.name == "Detect":
                 out = Detect(self.nc, self.na, dtype=self.dtype, name=f"m{spec.index}")(
@@ -299,20 +317,39 @@ class YoloModel(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def build_model(cfg, nc: int | None = None, dtype=jnp.float32):
+def build_model(cfg, nc: int | None = None, dtype=jnp.float32,
+                packed_stem: bool = False):
     """Load config → (YoloModel, ModelMeta-without-strides, raw dict)."""
     d = load_config(cfg)
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
     specs, nc_, na, anchors_px, _ = parse_model_config(d)
-    model = YoloModel(specs=tuple(specs), nc=nc_, na=na, dtype=dtype)
+    if packed_stem:
+        s0 = specs[0]
+        # silently fall back for configs without the Conv(c2,6,2) stem
+        # (Focus/yolov3 variants) — the packed path only accelerates that stem
+        packed_stem = s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]
+    model = YoloModel(specs=tuple(specs), nc=nc_, na=na, dtype=dtype,
+                      packed_stem=packed_stem)
     meta = ModelMeta(nc=nc_, nl=anchors_px.shape[0], na=na, strides=(), anchors_px=anchors_px)
     return model, meta, d
 
 
+def packed_stem_eligible(model: "YoloModel") -> bool:
+    """True iff the config's first layer is the Conv(c2, 6, 2) stem."""
+    s0 = model.specs[0]
+    return s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]
+
+
+def _dummy_input(model: YoloModel, imgsz: int):
+    if model.packed_stem:
+        return jnp.zeros((1, imgsz, imgsz * 3), jnp.uint8)
+    return jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+
+
 def probe_strides(model: YoloModel, meta: ModelMeta, imgsz: int = 256) -> ModelMeta:
     """Derive per-level strides with an abstract (zero-FLOP) forward."""
-    dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    dummy = _dummy_input(model, imgsz)
     vars_shape = jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy)
     outs = jax.eval_shape(
         lambda v, x: model.apply(v, x, train=False), vars_shape, dummy
@@ -330,7 +367,7 @@ def probe_strides(model: YoloModel, meta: ModelMeta, imgsz: int = 256) -> ModelM
 
 def init_model(model: YoloModel, meta: ModelMeta, rng, imgsz: int = 640):
     """Init variables + focal-style Detect bias priors (reference yolo.py:224-232)."""
-    dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    dummy = _dummy_input(model, imgsz)
     variables = model.init(rng, dummy, train=False)
     variables = unfreeze(variables)
     params = variables["params"]
@@ -346,9 +383,10 @@ def init_model(model: YoloModel, meta: ModelMeta, rng, imgsz: int = 640):
     return freeze(variables)
 
 
-def create_model(cfg, nc: int | None = None, dtype=jnp.float32, rng=None, imgsz: int = 640):
+def create_model(cfg, nc: int | None = None, dtype=jnp.float32, rng=None, imgsz: int = 640,
+                 packed_stem: bool = False):
     """One-call constructor: (model, variables, meta)."""
-    model, meta, d = build_model(cfg, nc=nc, dtype=dtype)
+    model, meta, d = build_model(cfg, nc=nc, dtype=dtype, packed_stem=packed_stem)
     meta = probe_strides(model, meta)
     meta.names = d.get("names")
     if rng is None:

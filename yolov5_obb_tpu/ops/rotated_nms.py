@@ -386,6 +386,7 @@ def non_max_suppression_from_maps(
     agnostic: bool = False,
     approx_topk: bool = True,
     classes: tuple | None = None,
+    stage: str = "full",
 ):
     """Decode + NMS fused over raw Detect maps — avoids materialising the
     full ``(B, N, 5+nc+180)`` sigmoid tensor (~800 MB at b16/1024): only
@@ -466,6 +467,8 @@ def non_max_suppression_from_maps(
             [x_i[box_idx], y_i[box_idx], w_i[box_idx], h_i[box_idx], theta],
             axis=-1,
         )
+        if stage == "select":  # bench hook: stop before suppression
+            return rb, scores
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
             presorted=True,  # top_k output is sorted
