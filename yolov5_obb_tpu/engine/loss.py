@@ -196,9 +196,19 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
     lbox = lobj = lcls = ltheta = 0.0
     B = maps[0].shape[0]
 
+    na = anchors_grid.shape[1]
     for li in range(nl):
-        p = maps[li]  # (B, ny, nx, na, no)
-        _, ny, nx, na, no = p.shape
+        p = maps[li]  # (B, ny, nx, na, no) or flat (B, ny*nx*na, no)
+        if p.ndim == 5:
+            _, ny, nx, _, no = p.shape
+            pf = p.reshape(B, ny * nx * na, no)
+        else:
+            # flat Detect output (model.apply(..., flat=True)) — the TPU
+            # fast path: the 5-D layout's na=3 sublane pads 3→8 (~2.7x HBM
+            # inflation) on every loss read; flat levels assumed square
+            _, n_lvl, no = p.shape
+            ny = nx = int(round((n_lvl // na) ** 0.5))
+            pf = p
         asn = _assign_level(
             t_xyls, t_mask, anchors_grid[li], strides[li], ny, nx, hyp["anchor_t"]
         )
@@ -212,7 +222,6 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
             jnp.arange(na, dtype=jnp.int32)[None, None, :, None], mask.shape
         )
         flat_idx = (cell * na + a_idx).reshape(B, K)
-        pf = p.reshape(B, ny * nx * na, no)
         ps = jnp.take_along_axis(pf, flat_idx[..., None], axis=1)  # (B, K, no)
 
         mflat = mask.reshape(B, K)
@@ -241,7 +250,7 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
         tobj = tobj.at[bidx, flat_idx].max(
             jnp.where(mflat, score_iou, 0.0), mode="drop"
         )
-        obj_logit = p[..., 4].reshape(B, ny * nx * na)
+        obj_logit = pf[..., 4]
         obj_l = bce_with_logits(obj_logit, tobj, hyp["obj_pw"])
         obj_l = modulate(obj_l, obj_logit, tobj)
         if blur > 0:

@@ -87,10 +87,13 @@ def make_train_step(model, loss_fn, tx, use_ema: bool = True, mesh: Mesh | None 
         x = image.astype(jnp.float32) / 255.0
 
         def fwd(params, xx):
+            # flat=True: Detect emits (B, n, no) levels — avoids the 5-D
+            # layout's na=3 sublane padding on every loss read (see loss.py)
             return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 xx,
                 train=True,
+                flat=True,
                 mutable=["batch_stats"],
             )
 

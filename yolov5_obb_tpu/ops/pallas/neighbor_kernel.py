@@ -45,8 +45,8 @@ _R = 32
 _CHUNK = 128  # cumsum chunk width (one lane vector)
 
 
-def _kernel(thr_edge, iou_thr, M, cols_ref, boxes8_ref, rows_ref, arows_ref,
-            out_ref):
+def _kernel(thr_edge, iou_thr, M, stage, row_off, cols_ref, boxes8_ref,
+            rows_ref, arows_ref, out_ref):
     """One program = _R consecutive rows of the n x n pair lattice.
 
     cols_ref:   (8, n)  lane-major per-column data [x1 y1 x2 y2 area cls valid 0]
@@ -58,7 +58,7 @@ def _kernel(thr_edge, iou_thr, M, cols_ref, boxes8_ref, rows_ref, arows_ref,
     """
     R = _R
     p = pl.program_id(0)
-    row0 = (p * R).astype(jnp.float32)
+    row0 = ((p + row_off) * R).astype(jnp.float32)
 
     cols = cols_ref[...]
     boxes8 = boxes8_ref[...]
@@ -93,6 +93,11 @@ def _kernel(thr_edge, iou_thr, M, cols_ref, boxes8_ref, rows_ref, arows_ref,
         * rval
     )  # (R, n)
 
+    if stage == 1:  # debug decomposition: edge mask only
+        s1 = jnp.sum(m_all, axis=1)[None, :]  # (1, R)
+        out_ref[...] = jnp.broadcast_to(s1[:, :1], (1, 8, R * M))
+        return
+
     # --- lane-dim inclusive cumsum via chunked LT matmuls ----------------
     # (no shift-concat: Mosaic rejects non-128-aligned lane concats)
     C = _CHUNK
@@ -113,62 +118,86 @@ def _kernel(thr_edge, iou_thr, M, cols_ref, boxes8_ref, rows_ref, arows_ref,
     pos_all = jnp.concatenate(pos_chunks, axis=1)  # (R, n), 128-aligned pieces
     sel_all = m_all * jnp.where(pos_all <= M, one, zero)  # first M per row
 
-    # --- compaction: G = 128/M rows per MXU dot (G*M = 128 lanes so every
-    # lane concat below stays vreg-aligned) --------------------------------
-    G = max(1, 128 // M)
-    GM = G * M
-    su = jax.lax.broadcasted_iota(jnp.int32, (GM, n), 0)
-    tgt_g = (su % M).astype(f32) + 1.0  # slot target per sublane
-    sub_row = su // M  # which of the G rows this sublane serves
+    if stage == 2:  # debug decomposition: + cumsum/selection
+        s2 = jnp.sum(sel_all) + jnp.sum(pos_all)
+        out_ref[...] = jnp.broadcast_to(s2[None, None, None], (1, 8, R * M))
+        return
 
-    lane_rm = jax.lax.broadcasted_iota(jnp.int32, (8, RM), 1)
-    b_acc = jnp.zeros((8, RM), f32)
-    for u in range(R // G):
-        # rank 0 = not selected; slot targets are 1-based so 0 never matches
-        pos_g = jnp.zeros((GM, n), f32)
-        for ri in range(G):
-            r = G * u + ri
-            pr = pos_all[r : r + 1, :] * sel_all[r : r + 1, :]
-            pos_g = jnp.where(sub_row == ri, pr, pos_g)
-        oh = jnp.where(pos_g == tgt_g, one, zero)  # (GM, n)
-        # Precision.HIGHEST: the default TPU f32 dot truncates inputs to
-        # bf16 (one MXU pass), which quantizes compacted indices >= 256 and
-        # box coordinates; the 3-pass split keeps one-hot copies exact
-        grp = jax.lax.dot_general(
-            boxes8, oh, (((0,), (1,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (8, GM): fields x [row Gu slots | ... | row Gu+G-1 slots]
-        tiled = jnp.concatenate([grp] * (RM // GM), axis=1)  # (8, RM)
-        inchunk = jnp.where(lane_rm // GM == u, one, zero)
-        b_acc = b_acc + tiled * inchunk
+    # the compaction + pair-IoU below is the kernel's dominant cost, and a
+    # program with NO admissible edges produces all-zero output — predicate
+    # the whole block on the edge count (detection tiles are sparse: most
+    # row-blocks see zero threshold-capable higher-scored neighbours)
+    any_edges = jnp.sum(sel_all) > 0.0
 
-    # --- A-side: row r's rbox broadcast over its M-lane chunk ------------
-    erow = jax.lax.broadcasted_iota(jnp.int32, (R, RM), 0)
-    elane = jax.lax.broadcasted_iota(jnp.int32, (R, RM), 1)
-    E = jnp.where(elane // M == erow, one, zero)
-    a = jax.lax.dot_general(
-        arows, E, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        precision=jax.lax.Precision.HIGHEST,  # exact value copies (see above)
-    )  # (8, RM)
+    @pl.when(jnp.logical_not(any_edges))
+    def _zero_out():
+        out_ref[...] = jnp.zeros((1, 8, RM), f32)
 
-    riou = _pairs_iou_math(
-        a[0], a[1], a[2], a[3], a[4],
-        b_acc[0], b_acc[1], b_acc[2], b_acc[3], b_acc[4],
-    )  # (RM,)
-    occ = b_acc[6]  # 1 iff the slot holds a real neighbour
-    sup = jnp.where(riou > iou_thr, one, zero) * occ  # (RM,)
+    @pl.when(any_edges)
+    def _full_block():
+        # --- compaction: G = 128/M rows per MXU dot (G*M = 128 lanes so
+        # every lane concat below stays vreg-aligned) ----------------------
+        G = max(1, 128 // M)
+        GM = G * M
+        su = jax.lax.broadcasted_iota(jnp.int32, (GM, n), 0)
+        tgt_g = (su % M).astype(f32) + 1.0  # slot target per sublane
+        sub_row = su // M  # which of the G rows this sublane serves
 
-    # assemble (8, RM) by sublane select (no 1-sublane concats)
-    su8 = jax.lax.broadcasted_iota(jnp.int32, (8, RM), 0)
-    out8 = jnp.where(
-        su8 == 0, sup[None, :], jnp.where(su8 == 1, b_acc[5:6, :], zero)
-    )
-    out_ref[...] = out8[None]
+        lane_rm = jax.lax.broadcasted_iota(jnp.int32, (8, RM), 1)
+        b_acc = jnp.zeros((8, RM), f32)
+        for u in range(R // G):
+            # rank 0 = not selected; slot targets are 1-based → 0 never hits
+            pos_g = jnp.zeros((GM, n), f32)
+            for ri in range(G):
+                r = G * u + ri
+                pr = pos_all[r : r + 1, :] * sel_all[r : r + 1, :]
+                pos_g = jnp.where(sub_row == ri, pr, pos_g)
+            oh = jnp.where(pos_g == tgt_g, one, zero)  # (GM, n)
+            # Precision.HIGHEST: the default TPU f32 dot truncates inputs
+            # to bf16 (one MXU pass), which quantizes compacted indices
+            # >= 256 and box coordinates; the multi-pass split keeps
+            # one-hot copies exact
+            grp = jax.lax.dot_general(
+                boxes8, oh, (((0,), (1,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (8, GM): fields x [row Gu slots | ... | row Gu+G-1 slots]
+            tiled = jnp.concatenate([grp] * (RM // GM), axis=1)  # (8, RM)
+            inchunk = jnp.where(lane_rm // GM == u, one, zero)
+            b_acc = b_acc + tiled * inchunk
+
+        if stage == 3:  # debug decomposition: + compaction (no pair IoU)
+            out_ref[...] = b_acc[None]
+            return
+
+        # --- A-side: row r's rbox broadcast over its M-lane chunk --------
+        erow = jax.lax.broadcasted_iota(jnp.int32, (R, RM), 0)
+        elane = jax.lax.broadcasted_iota(jnp.int32, (R, RM), 1)
+        E = jnp.where(elane // M == erow, one, zero)
+        a = jax.lax.dot_general(
+            arows, E, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,  # exact copies (see above)
+        )  # (8, RM)
+
+        riou = _pairs_iou_math(
+            a[0], a[1], a[2], a[3], a[4],
+            b_acc[0], b_acc[1], b_acc[2], b_acc[3], b_acc[4],
+        )  # (RM,)
+        occ = b_acc[6]  # 1 iff the slot holds a real neighbour
+        sup = jnp.where(riou > iou_thr, one, zero) * occ  # (RM,)
+
+        # assemble (8, RM) by sublane select (no 1-sublane concats)
+        su8 = jax.lax.broadcasted_iota(jnp.int32, (8, RM), 0)
+        out8 = jnp.where(
+            su8 == 0, sup[None, :], jnp.where(su8 == 1, b_acc[5:6, :], zero)
+        )
+        out_ref[...] = out8[None]
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thr", "max_neighbors"))
+@functools.partial(jax.jit, static_argnames=("iou_thr", "max_neighbors",
+                                             "stage"))
 def fused_neighbor_iou(boxes, class_ids, valid, iou_thr: float,
-                       max_neighbors: int = 64):
+                       max_neighbors: int = 64, stage: int = 4):
     """Fused edge-test + first-M compaction + exact pair IoU.
 
     Args:
@@ -211,24 +240,44 @@ def fused_neighbor_iou(boxes, class_ids, valid, iou_thr: float,
     arows = jnp.stack([cx, cy, l, s, t, zeros, zeros, zeros], axis=1)
 
     interpret = jax.default_backend() != "tpu"
-    kern = functools.partial(
-        _kernel, float(iou_thr) * 0.98, float(iou_thr), M
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=(n // _R,),
-        in_specs=[
-            pl.BlockSpec((8, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, _R * M), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n // _R, 8, _R * M), jnp.float32),
-        interpret=interpret,
-    )(cols, boxes8, rows8, arows)
+
+    def call(n_cols: int, p0: int, n_prog: int):
+        """Programs p0..p0+n_prog-1 against the first ``n_cols`` columns.
+
+        Exact: rows in program p only admit neighbours at columns
+        < R*(p+1) (strict lower triangle), so the column lattice can be
+        truncated per program group — ~38% less edge/compaction work
+        across the 4-way split below."""
+        kern = functools.partial(
+            _kernel, float(iou_thr) * 0.98, float(iou_thr), M, stage, p0
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(n_prog,),
+            in_specs=[
+                pl.BlockSpec((8, n_cols), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_cols, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_R, 8), lambda i: (i + p0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_R, 8), lambda i: (i + p0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, _R * M), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_prog, 8, _R * M), jnp.float32),
+            interpret=interpret,
+        )(cols[:, :n_cols], boxes8[:n_cols], rows8, arows)
+
+    n_prog_total = n // _R
+    splits = 4 if n_prog_total % 4 == 0 and n >= 4 * _CHUNK else 1
+    per = n_prog_total // splits
+    outs = [
+        call(((g + 1) * n) // splits, g * per, per) for g in range(splits)
+    ]
+    out = jnp.concatenate(outs, axis=0) if splits > 1 else outs[0]
 
     nbr_idx = out[:, 1].reshape(n, M).astype(jnp.int32)
     sup_in = out[:, 0].reshape(n, M) > 0.5
