@@ -18,7 +18,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-BATCH = 16
+import os
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
 IMGSZ = 1024
 MAX_LABELS = 64
 
