@@ -50,3 +50,34 @@ def test_fused_stem_matches_convbnact(rng):
     np.testing.assert_allclose(got, ref, atol=5e-2, rtol=5e-2)
     # and the bulk must be much tighter than the worst case
     assert np.median(np.abs(got - ref)) < 5e-3
+
+
+def test_fused_stem_xla_fallback_for_odd_heights(rng):
+    """Heights whose H/2 is not a multiple of the kernel row-block must fall
+    back to the XLA path and still match the stock module."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models.layers import ConvBnAct
+    from yolov5_obb_tpu.ops.pallas.stem_kernel import (fold_stem_params,
+                                                       fused_stem)
+
+    B, H, W, C2 = 1, 96, 96, 16  # H/2 = 48, not a multiple of 32
+    img = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+    mod = ConvBnAct(C2, 6, 2, 2, dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+    stats = {"mean": jnp.zeros((C2,)), "var": jnp.ones((C2,))}
+    variables = {"params": variables["params"],
+                 "batch_stats": {"BatchNorm_0": stats}}
+    ref = mod.apply(variables, jnp.asarray(img, jnp.float32) / 255.0,
+                    train=False)
+    w108, bias = fold_stem_params(
+        variables["params"]["Conv_0"]["kernel"],
+        variables["params"]["BatchNorm_0"]["scale"],
+        variables["params"]["BatchNorm_0"]["bias"],
+        stats["mean"], stats["var"],
+    )
+    got = fused_stem(jnp.asarray(img.reshape(B, H, -1)), w108, bias, H, W)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=5e-2,
+                               rtol=5e-2)

@@ -132,12 +132,15 @@ class OBBModel:
     def __init__(self, cfg="yolov5m.yaml", weights: str | None = None,
                  names=None, imgsz: int = 1024, conf_thres: float = 0.25,
                  iou_thres: float = 0.45, max_det: int = 1000, dtype=None):
+        import jax
         import jax.numpy as jnp
 
         self.imgsz = imgsz
+        # TPU: fused Pallas stem on the packed u8 feed (inference only)
+        packed = jax.default_backend() == "tpu"
         self.model, self.variables, self.meta = create_model(
             cfg, nc=len(names) if names else None,
-            dtype=dtype or jnp.float32, imgsz=imgsz,
+            dtype=dtype or jnp.float32, imgsz=imgsz, packed_stem=packed,
         )
         if weights:
             self.variables, wmeta = load_weights(weights)
@@ -178,7 +181,12 @@ class OBBModel:
         n_real = len(batch)
         n_pad = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
         batch.extend([batch[-1]] * (n_pad - n_real))
-        x = jnp.asarray(np.stack(batch))
+        stacked = np.stack(batch)
+        if getattr(self.predict, "packed_stem", False):
+            from .engine.evaluator import pack_images
+
+            stacked = pack_images(stacked)
+        x = jnp.asarray(stacked)
         dets, num = self.predict(self.variables, x)
         dets, num = np.asarray(dets)[:n_real], np.asarray(num)[:n_real]
 
