@@ -188,7 +188,11 @@ class Detect(nn.Module):
                 # (…, na, no) form puts na=3 on the sublane dim (padded 3→8,
                 # ~2.7x HBM inflation on every decode read); the flat form's
                 # minor dims (n, no) pad only 200→256.
-                outs.append(y.reshape(b, ny * nx * self.na, no).astype(jnp.float32))
+                # Inference keeps the compute dtype (bf16 on TPU — halves the
+                # dominant map traffic, the reference's --half equivalent);
+                # the train/loss path stays f32.
+                flat_map = y.reshape(b, ny * nx * self.na, no)
+                outs.append(flat_map.astype(jnp.float32) if train else flat_map)
             else:
                 outs.append(y.reshape(b, ny, nx, self.na, no).astype(jnp.float32))
         return outs

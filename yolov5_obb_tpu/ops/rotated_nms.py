@@ -431,13 +431,16 @@ def non_max_suppression_from_maps(
         ah = np.asarray(meta.anchors_px[li], np.float32)[a, 1]
         stride = float(meta.strides[li])
 
-        obj = jax.nn.sigmoid(p[..., 4])  # (B, n)
-        x_l.append((jax.nn.sigmoid(p[..., 0]) * 2 - 0.5 + gx) * stride)
-        y_l.append((jax.nn.sigmoid(p[..., 1]) * 2 - 0.5 + gy) * stride)
-        w_l.append((jax.nn.sigmoid(p[..., 2]) * 2) ** 2 * aw)
-        h_l.append((jax.nn.sigmoid(p[..., 3]) * 2) ** 2 * ah)
+        # slices upcast to f32 before the sigmoid/decode math — the maps may
+        # arrive bf16 (inference flat path); the upcast fuses into each pass
+        f = lambda sl: sl.astype(jnp.float32)
+        obj = jax.nn.sigmoid(f(p[..., 4]))  # (B, n)
+        x_l.append((jax.nn.sigmoid(f(p[..., 0])) * 2 - 0.5 + gx) * stride)
+        y_l.append((jax.nn.sigmoid(f(p[..., 1])) * 2 - 0.5 + gy) * stride)
+        w_l.append((jax.nn.sigmoid(f(p[..., 2])) * 2) ** 2 * aw)
+        h_l.append((jax.nn.sigmoid(f(p[..., 3])) * 2) ** 2 * ah)
         obj_l.append(obj)
-        cls = jax.nn.sigmoid(p[..., 5 : 5 + nc]) * obj[..., None]
+        cls = jax.nn.sigmoid(f(p[..., 5 : 5 + nc])) * obj[..., None]
         cls = _apply_class_filter(cls, classes, nc)
         if multi_label:
             conf_l.append(cls)
