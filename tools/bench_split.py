@@ -39,32 +39,35 @@ def main():
     from yolov5_obb_tpu.models.yolo import create_model
     from yolov5_obb_tpu.ops.rotated_nms import non_max_suppression_from_maps
 
+    packed = jax.default_backend() == "tpu"
     model, variables, meta = create_model(
-        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ
+        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
+        packed_stem=packed,
     )
+    from yolov5_obb_tpu.engine.evaluator import pack_images
 
     rng = np.random.default_rng(0)
-    xs = [
-        jax.device_put(
-            rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
-        )
-        for _ in range(2)
-    ]
+    raw = [rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
+           for _ in range(2)]
+    xs = [jax.device_put(pack_images(a) if packed else a) for a in raw]
     jax.block_until_ready(xs)
 
     @jax.jit
     def fwd_only(v, x):
-        maps = model.apply(v, x.astype(jnp.float32) / 255.0, train=False)
-        return sum(jnp.sum(m) for m in maps)
+        xin = x if packed else x.astype(jnp.float32) / 255.0
+        maps = model.apply(v, xin, train=False, flat=True)
+        return sum(jnp.sum(m.astype(jnp.float32)) for m in maps)
 
     ms_fwd = timeit(fwd_only, [(variables, x) for x in xs])
     print(f"forward only:        {ms_fwd:.3f} ms/img")
 
     # stage 2: decode+NMS on fixed maps (pre-computed, staged on device)
     maps0 = jax.jit(
-        lambda v, x: model.apply(v, x.astype(jnp.float32) / 255.0, train=False)
+        lambda v, x: model.apply(
+            v, x if packed else x.astype(jnp.float32) / 255.0,
+            train=False, flat=True)
     )(variables, xs[0])
-    maps1 = jax.tree.map(lambda m: m + 0.001, maps0)
+    maps1 = jax.tree.map(lambda m: (m + m.dtype.type(0.001)), maps0)
     jax.block_until_ready((maps0, maps1))
 
     @jax.jit
