@@ -30,6 +30,9 @@ def main():
         "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
         packed_stem=packed,
     )
+    from yolov5_obb_tpu.utils.fuse import fuse_for_inference
+
+    variables = fuse_for_inference(variables)
     predict = make_predict_fn(
         model, meta, conf_thres=0.25, iou_thres=0.45, max_det=1500,
         multi_label=False, max_candidates=2048,

@@ -53,6 +53,8 @@ def parse_opt():
     p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--line-thickness", type=int, default=2)
+    p.add_argument("--no-fuse", action="store_true",
+                   help="skip load-time Conv+BN folding")
     p.add_argument("--visualize", action="store_true",
                    help="save feature-map grids for the first frame")
     p.add_argument("--dtype", type=str, default="float32",
@@ -146,16 +148,26 @@ def run(opt):
         )
         import jax
 
-        # TPU: fused Pallas stem on the packed u8 feed (inference only)
+        # TPU: fused Pallas stem on the packed u8 feed (inference only;
+        # bf16-only — the kernel computes in bf16 and must not silently
+        # change an f32 run's numerics)
         packed = (jax.default_backend() == "tpu"
+                  and dt == jnp.bfloat16
                   and not getattr(opt, "augment", False))
         model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz,
                                               dtype=dt, packed_stem=packed)
         if opt.weights:
+            from yolov5_obb_tpu.utils.checkpoint import restore_model_meta
+
             variables, wmeta = load_weights(opt.weights)
+            restore_model_meta(meta, wmeta)
             names = names or wmeta.get("names")
         if names is None:
             names = [str(i) for i in range(meta.nc)]
+        from yolov5_obb_tpu.utils.fuse import fuse_for_inference
+
+        variables = fuse_for_inference(
+            variables, enable=not getattr(opt, "no_fuse", False))
 
         predict = make_predict_fn(
             model, meta, opt.conf_thres, opt.iou_thres, opt.max_det,

@@ -37,11 +37,15 @@ def build_forward(opt):
     import jax.numpy as jnp
 
     from yolov5_obb_tpu.models.yolo import create_model, decode
-    from yolov5_obb_tpu.utils.checkpoint import load_weights
+    from yolov5_obb_tpu.utils.checkpoint import load_weights, restore_model_meta
 
     model, variables, meta = create_model(opt.cfg, nc=opt.nc, imgsz=opt.imgsz)
     if opt.weights:
-        variables, _ = load_weights(opt.weights)
+        variables, wmeta = load_weights(opt.weights)
+        restore_model_meta(meta, wmeta)
+    from yolov5_obb_tpu.utils.fuse import fuse_for_inference
+
+    variables = fuse_for_inference(variables)  # reference attempt_load(fuse=True)
 
     def fwd(image_f32):
         """(B, H, W, 3) float32 in [0,1] → (B, n_anchors, 5+nc+180) decoded."""

@@ -39,7 +39,7 @@ def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
         log_interval=100, project=str(tmp_path / "runs/train"), name="exp",
         exist_ok=True,
     )
-    save_dir, best_fit = train_cli.run(opt)
+    save_dir, best_fit, _ = train_cli.run(opt)
     assert (save_dir / "results.csv").exists()
     assert (save_dir / "last").exists()
     # results.csv has 2 epochs + header
@@ -83,7 +83,7 @@ def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
     # --- resume path ----------------------------------------------------
     opt.resume = str(save_dir / "last")
     opt.epochs = 3
-    save_dir2, _ = train_cli.run(opt)
+    save_dir2, _, _ = train_cli.run(opt)
     lines = (save_dir2 / "results.csv").read_text().strip().splitlines()
     assert len(lines) >= 4  # header + epochs 0,1 (+2 resumed)
 
@@ -152,11 +152,11 @@ def test_resume_continues_epochs(mini_dota_session, tmp_path):
         adam=False, log_interval=100, project=str(tmp_path / "runs"),
         name="r", exist_ok=True,
     )
-    save_dir, _ = train_cli.run(types.SimpleNamespace(**base, epochs=2, resume=""))
+    save_dir, _, _ = train_cli.run(types.SimpleNamespace(**base, epochs=2, resume=""))
     lines = (save_dir / "results.csv").read_text().strip().splitlines()
     assert len(lines) == 3  # header + 2 epochs
 
-    save_dir2, _ = train_cli.run(types.SimpleNamespace(
+    save_dir2, _, _ = train_cli.run(types.SimpleNamespace(
         **base, epochs=4, resume=str(save_dir / "last")))
     lines = (save_dir2 / "results.csv").read_text().strip().splitlines()
     rows = [ln.split(",")[0] for ln in lines[1:]]
@@ -180,3 +180,32 @@ def test_evolve_two_generations(mini_dota_session, tmp_path):
     csv = list((tmp_path / "runs").rglob("evolve.csv"))
     assert len(csv) == 1
     assert len(csv[0].read_text().strip().splitlines()) == 3  # header + 2 gens
+
+
+def test_evolve_logs_run_metrics(tmp_path, monkeypatch):
+    """evolve.csv metric columns must carry the run's actual metrics, not
+    placeholders (regression: round 1 logged zeros for map50/map)."""
+    import train as train_cli
+
+    calls = []
+
+    def fake_run(opt, hyp_override=None, callbacks=None):
+        calls.append(hyp_override)
+        return tmp_path / "fake", 0.4321, {"mp": 0.5, "mr": 0.6,
+                                           "map50": 0.123, "map": 0.077}
+
+    monkeypatch.setattr(train_cli, "run", fake_run)
+    opt = types.SimpleNamespace(
+        hyp=None, evolve=2, seed=0, exist_ok=True, nosave=True,
+        project=str(tmp_path / "runs"), name="ev",
+    )
+    train_cli.evolve(opt)
+    rows = list((tmp_path / "runs").rglob("evolve.csv"))[0].read_text()
+    lines = rows.strip().splitlines()
+    assert len(lines) == 3 and len(calls) == 2
+    header = lines[0].split(",")
+    for line in lines[1:]:
+        rec = dict(zip(header, line.split(",")))
+        assert float(rec["fitness"]) == pytest.approx(0.4321, abs=1e-4)
+        assert float(rec["map50"]) == pytest.approx(0.123, abs=1e-4)
+        assert float(rec["map"]) == pytest.approx(0.077, abs=1e-4)

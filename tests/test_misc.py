@@ -278,3 +278,41 @@ def test_bundled_configs_parse():
     for ds in ("dotav1", "dotav15", "dotav2", "dronevehicle"):
         d = yaml.safe_load((cfg_dir / f"{ds}.yaml").read_text())
         assert len(d["names"]) == d["nc"], ds
+
+
+def test_restore_model_meta_anchors():
+    """Evolved anchors saved in checkpoint meta must restore into ModelMeta
+    (regression: round-1 checkpoints decoded with config anchors after
+    autoanchor evolution)."""
+    from yolov5_obb_tpu.models.yolo import create_model
+    from yolov5_obb_tpu.utils.checkpoint import restore_model_meta
+
+    _, _, meta = create_model("yolov5n.yaml", nc=15, imgsz=128)
+    evolved = np.asarray(meta.anchors_px) * 1.37 + 2.0
+    ckpt_meta = {"anchors": evolved.tolist(), "names": ["a"] * 15}
+    restore_model_meta(meta, ckpt_meta)
+    np.testing.assert_allclose(meta.anchors_px, evolved, rtol=1e-6)
+    # wrong shape → ignored, not crashed
+    restore_model_meta(meta, {"anchors": [[1.0, 2.0]]})
+    np.testing.assert_allclose(meta.anchors_px, evolved, rtol=1e-6)
+    # no anchors key → no-op
+    restore_model_meta(meta, {})
+    np.testing.assert_allclose(meta.anchors_px, evolved, rtol=1e-6)
+
+
+def test_disk_image_cache_keyed_by_dataset(mini_dota_session, tmp_path):
+    """Two datasets sharing cache_dir must not share image npz files
+    (regression: val lazily read train's cached image for index i)."""
+    from yolov5_obb_tpu.data.dota import DotaDataset
+
+    cache = tmp_path / "cache"
+    names = [str(i) for i in range(15)]
+    ds1 = DotaDataset(str(mini_dota_session / "images"), names, img_size=64,
+                      max_labels=16, cache_images="disk", cache_dir=str(cache))
+    # same images, different file list order → different dataset identity
+    files = sorted(str(p) for p in (mini_dota_session / "images").glob("*.png"))
+    lst = tmp_path / "subset.txt"
+    lst.write_text("\n".join(files[:2]))
+    ds2 = DotaDataset(str(lst), names, img_size=64, max_labels=16,
+                      cache_images="disk", cache_dir=str(cache))
+    assert ds1._disk_cache_dir != ds2._disk_cache_dir

@@ -63,10 +63,14 @@ def test_kernel_matches_exact_on_hard_pairs():
     np.testing.assert_allclose(got[100:150], 0.0, atol=1e-6)
 
 
-@pytest.mark.parametrize("M", [16, 64])
-def test_fused_neighbor_iou_matches_xla_reference(M):
+@pytest.mark.parametrize("n,M", [(128, 16), (128, 64), (640, 64)])
+def test_fused_neighbor_iou_matches_xla_reference(n, M):
     """Fused Pallas neighbor-select+IoU == XLA path (_first_m_neighbors +
-    exact rotated IoU) on random candidates, incl. class masking and padding."""
+    exact rotated IoU) on random candidates, incl. class masking and padding.
+
+    n=640 exercises the 4-way program split with a column count that is
+    not a multiple of 4*128 (regression: the per-group lattice must round
+    up to whole 128-lane vectors, not truncate to a ragged tail)."""
     import jax.numpy as jnp
 
     from yolov5_obb_tpu.ops.pallas.neighbor_kernel import fused_neighbor_iou
@@ -77,7 +81,7 @@ def test_fused_neighbor_iou_matches_xla_reference(M):
     )
 
     rng = np.random.default_rng(5)
-    n, thr = 128, 0.45
+    thr = 0.45
     rb = np.zeros((n, 5), np.float32)
     rb[:, 0] = rng.uniform(0, 400, n)
     rb[:, 1] = rng.uniform(0, 400, n)

@@ -157,6 +157,17 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
             )
         except Exception as e:
             print(f"autoanchor check failed (continuing with config anchors): {e}")
+    elif opt.resume:
+        # restore evolved anchors from the checkpoint BEFORE the loss/step
+        # fns capture meta — otherwise a resumed run silently reverts to
+        # config anchors mid-training
+        import json as _json
+
+        mp = Path(opt.resume) / "meta.json"
+        if mp.exists():
+            from yolov5_obb_tpu.utils.checkpoint import restore_model_meta
+
+            restore_model_meta(meta, _json.loads(mp.read_text()))
 
     hyp_scaled = scale_hyp_gains(hyp, meta.nl, meta.nc, opt.imgsz)
     loss_fn = ComputeLoss(meta, hyp_scaled)
@@ -217,6 +228,7 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     callbacks.run("on_pretrain_routine_end")
     callbacks.run("on_train_start")
     patience_left = opt.patience
+    final_metrics = None  # metrics of the best-fitness epoch (evolve logging)
     for epoch in range(start_epoch, opt.epochs):
         callbacks.run("on_train_epoch_start")
         t0 = time.time()
@@ -275,6 +287,8 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
             callbacks.run("on_val_end", metrics=metrics)
         fit = fitness(metrics["mp"], metrics["mr"], metrics["map50"], metrics["map"])
         callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fit, metrics=metrics)
+        if fit >= best_fit or final_metrics is None:
+            final_metrics = dict(metrics)
 
         lr_now = float(opt_info["lr_fn"](int(state.step)))
         loggers.log_epoch(
@@ -298,6 +312,9 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
             ckpt_meta = {
                 "epoch": epoch, "best_fitness": max(best_fit, fit),
                 "names": names, "cfg": opt.cfg, "imgsz": opt.imgsz,
+                # evolved anchors must travel with the weights (see
+                # utils/checkpoint.restore_model_meta)
+                "anchors": np.asarray(meta.anchors_px).tolist(),
             }
             save_checkpoint(save_dir / "last", state, ckpt_meta)
             # artifact upload only on new-best or at --save-period epochs —
@@ -332,7 +349,8 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     except Exception as e:
         print(f"plot_results failed: {e}")
     print(f"training complete; best fitness {best_fit:.4f}; results in {save_dir}")
-    return save_dir, best_fit
+    return save_dir, best_fit, (final_metrics or
+                                {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0})
 
 
 def evolve(opt):
@@ -355,8 +373,8 @@ def evolve(opt):
         hyp = mutate(base_hyp, rng, parents or None)
         opt.name = f"gen{gen}"
         opt.project = str(evolve_dir)
-        _, fit = run(opt, hyp_override=hyp)
-        log_generation(evolve_csv, hyp, {"map50": 0.0, "map": 0.0}, fit)
+        _, fit, gen_metrics = run(opt, hyp_override=hyp)
+        log_generation(evolve_csv, hyp, gen_metrics, fit)
         print(f"evolve gen {gen}: fitness {fit:.4f}")
     try:
         from yolov5_obb_tpu.utils.plots import plot_evolve

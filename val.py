@@ -44,6 +44,8 @@ def parse_opt():
                    help="append confidence to --save-txt rows")
     p.add_argument("--save-task1", action="store_true", help="per-class Task1 txts for devkit merge")
     p.add_argument("--augment", action="store_true", help="TTA inference")
+    p.add_argument("--no-fuse", action="store_true",
+                   help="skip load-time Conv+BN folding")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard eval batches over N devices (0 = single device)")
     p.add_argument("--dtype", type=str, default="float32",
@@ -108,13 +110,23 @@ def run(opt):
         import jax.numpy as jnp
 
         dt = jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16" else jnp.float32
-        # TPU: fused Pallas stem on the packed u8 feed (inference only)
+        # TPU: fused Pallas stem on the packed u8 feed (inference only).
+        # The kernel computes in bf16, so enable it only when bf16 was
+        # requested — an f32 run must not silently change numerics.
         packed = (jax.default_backend() == "tpu"
+                  and dt == jnp.bfloat16
                   and not getattr(opt, "augment", False))
         model, variables, meta = create_model(opt.cfg, nc=nc, imgsz=opt.imgsz,
                                               dtype=dt, packed_stem=packed)
         if opt.weights:
-            variables, _ = load_weights(opt.weights)
+            from yolov5_obb_tpu.utils.checkpoint import restore_model_meta
+
+            variables, wmeta = load_weights(opt.weights)
+            restore_model_meta(meta, wmeta)
+        from yolov5_obb_tpu.utils.fuse import fuse_for_inference
+
+        variables = fuse_for_inference(
+            variables, enable=not getattr(opt, "no_fuse", False))
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     if opt.task == "speed":

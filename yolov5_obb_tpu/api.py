@@ -136,15 +136,24 @@ class OBBModel:
         import jax.numpy as jnp
 
         self.imgsz = imgsz
-        # TPU: fused Pallas stem on the packed u8 feed (inference only)
-        packed = jax.default_backend() == "tpu"
+        # TPU: fused Pallas stem on the packed u8 feed (inference only;
+        # bf16-only — the kernel computes in bf16 and must not silently
+        # change f32 numerics)
+        packed = (jax.default_backend() == "tpu"
+                  and (dtype or jnp.float32) == jnp.bfloat16)
         self.model, self.variables, self.meta = create_model(
             cfg, nc=len(names) if names else None,
             dtype=dtype or jnp.float32, imgsz=imgsz, packed_stem=packed,
         )
         if weights:
+            from .utils.checkpoint import restore_model_meta
+
             self.variables, wmeta = load_weights(weights)
+            restore_model_meta(self.meta, wmeta)
             names = names or wmeta.get("names")
+        from .utils.fuse import fuse_for_inference
+
+        self.variables = fuse_for_inference(self.variables)
         self.names = list(names) if names else [str(i) for i in range(self.meta.nc)]
         self.predict = make_predict_fn(
             self.model, self.meta, conf_thres, iou_thres, max_det, multi_label=False

@@ -140,8 +140,12 @@ class DotaDataset:
             raise ValueError("cache_images='disk' requires cache_dir")
         self.cache_images = cache_images or None
         self._ram_cache: dict = {}
+        # key the image cache by dataset identity (like the labels cache):
+        # train and val datasets share cache_dir, and an index-only key would
+        # pair train images with val labels (first-writer-wins npz store)
         self._disk_cache_dir = (
-            Path(cache_dir) / f"imgs_{self.img_size}" if cache_images == "disk" else None
+            Path(cache_dir) / f"imgs_{self.img_size}_{self._cache_key()}"
+            if cache_images == "disk" else None
         )
         if self._disk_cache_dir is not None:
             self._disk_cache_dir.mkdir(parents=True, exist_ok=True)

@@ -208,6 +208,12 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
             # inflation) on every loss read; flat levels assumed square
             _, n_lvl, no = p.shape
             ny = nx = int(round((n_lvl // na) ** 0.5))
+            if ny * nx * na != n_lvl:
+                raise ValueError(
+                    f"flat loss path requires square feature maps: level "
+                    f"{li} has {n_lvl} cells with na={na} (ny*nx*na != "
+                    f"n_lvl); pass 5-D maps for non-square inputs"
+                )
             pf = p
         asn = _assign_level(
             t_xyls, t_mask, anchors_grid[li], strides[li], ny, nx, hyp["anchor_t"]

@@ -48,7 +48,12 @@ class MultiBackend:
 
             model, variables, meta = create_model(cfg or "yolov5m.yaml", nc=nc,
                                                   imgsz=imgsz)
+            from ..utils.checkpoint import restore_model_meta
+            from ..utils.fuse import fuse_for_inference
+
             variables, wmeta = load_weights(p)
+            restore_model_meta(meta, wmeta)
+            variables = fuse_for_inference(variables)
             self.names = wmeta.get("names")
             self.meta = meta
 

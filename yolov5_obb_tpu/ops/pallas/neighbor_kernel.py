@@ -274,8 +274,14 @@ def fused_neighbor_iou(boxes, class_ids, valid, iou_thr: float,
     n_prog_total = n // _R
     splits = 4 if n_prog_total % 4 == 0 and n >= 4 * _CHUNK else 1
     per = n_prog_total // splits
+    # each group's column lattice must cover the strict lower triangle of
+    # its last program (R*(p0+per) columns) AND be a whole number of
+    # _CHUNK-lane vectors — round up, capped at n (n=640 etc. would
+    # otherwise hand the kernel a ragged 160-lane tail and fail to trace)
     outs = [
-        call(((g + 1) * n) // splits, g * per, per) for g in range(splits)
+        call(min(n, -(-(_R * (g + 1) * per) // _CHUNK) * _CHUNK),
+             g * per, per)
+        for g in range(splits)
     ]
     out = jnp.concatenate(outs, axis=0) if splits > 1 else outs[0]
 

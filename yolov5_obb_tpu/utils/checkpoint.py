@@ -103,3 +103,20 @@ def load_weights(path):
         meta = json.loads(mp.read_text())
     variables = {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
     return variables, meta
+
+
+def restore_model_meta(meta, ckpt_meta: dict):
+    """Apply checkpoint-side model metadata to a live ModelMeta.
+
+    Autoanchor-evolved anchors are saved in the checkpoint's meta.json
+    (the reference keeps them inside the pickled model, train.py:241);
+    without this, inference on an evolved checkpoint would decode with the
+    config anchors — silently wrong boxes."""
+    import numpy as np
+
+    anchors = ckpt_meta.get("anchors") if ckpt_meta else None
+    if anchors is not None and meta is not None:
+        arr = np.asarray(anchors, dtype=np.float32)
+        if arr.shape == tuple(np.shape(meta.anchors_px)):
+            meta.anchors_px = arr
+    return meta

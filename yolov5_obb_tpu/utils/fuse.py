@@ -63,6 +63,19 @@ def fuse_conv_bn(variables, eps: float = 1e-3):
     return {"params": params, "batch_stats": stats}
 
 
+def fuse_for_inference(variables, enable: bool = True):
+    """Load-time Conv+BN folding for every inference driver (reference
+    ``attempt_load(fuse=True)``, experimental.py:90 / yolo.py:246).
+
+    After folding, each BatchNorm reduces to a per-channel subtract that
+    XLA fuses into the conv epilogue — the separate scale multiply is
+    gone from the compiled graph.  Returns ``variables`` unchanged when
+    disabled or when there are no batch statistics to fold."""
+    if not enable or not variables.get("batch_stats"):
+        return variables
+    return fuse_conv_bn(variables)
+
+
 def _to_plain(tree):
     if hasattr(tree, "unfreeze"):
         tree = tree.unfreeze()
