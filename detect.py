@@ -133,7 +133,24 @@ def run(opt):
 
     from yolov5_obb_tpu.models.backend import is_artifact, make_backend_predict_fn
 
-    if opt.weights and is_artifact(opt.weights):
+    if opt.weights and "," in str(opt.weights):
+        # model-level ensemble (reference Ensemble, experimental.py:75-120)
+        from yolov5_obb_tpu.engine.evaluator import (
+            load_ensemble_members,
+            make_ensemble_predict_fn,
+        )
+
+        wlist = [w.strip() for w in str(opt.weights).split(",") if w.strip()]
+        members, wnames = load_ensemble_members(
+            wlist, opt.cfg, nc, opt.imgsz,
+            fuse=not getattr(opt, "no_fuse", False))
+        names = names or wnames or [str(i) for i in range(members[0][2].nc)]
+        predict = make_ensemble_predict_fn(
+            members, opt.conf_thres, opt.iou_thres, opt.max_det,
+            multi_label=True, agnostic=getattr(opt, "agnostic_nms", False),
+            classes=getattr(opt, "classes", None))
+        variables = None
+    elif opt.weights and is_artifact(opt.weights):
         if names is None:
             raise SystemExit("--data must provide names for exported artifacts")
         predict, _ = make_backend_predict_fn(

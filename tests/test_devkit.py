@@ -136,3 +136,44 @@ def test_json_to_task1(tmp_path):
     out = json_to_task1(jp, tmp_path / "task1", NAMES)
     assert (out / "Task1_plane.txt").read_text().startswith("P1 0.90000")
     assert "P1 0.50000" in (out / "Task1_ship.txt").read_text()
+
+
+def test_coco_eval_bbox_perfect_and_degraded(tmp_path):
+    """COCOeval-lite: perfect predictions → AP 1.0; wrong-class or shifted
+    predictions degrade it (reference val.py:299-323 pycocotools branch)."""
+    import json
+
+    from yolov5_obb_tpu.devkit.coco_eval import coco_eval_bbox
+
+    gt = {
+        "images": [{"id": 1, "file_name": "a.png", "height": 200, "width": 200},
+                   {"id": 2, "file_name": "b.png", "height": 200, "width": 200}],
+        "categories": [{"id": 1, "name": "x"}, {"id": 2, "name": "y"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 20], "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 2, "bbox": [100, 100, 30, 30], "iscrowd": 0},
+            {"id": 3, "image_id": 2, "category_id": 1, "bbox": [50, 60, 20, 40], "iscrowd": 0},
+        ],
+    }
+
+    def pred(img_stem, cid0, bbox_tl, score):
+        x, y, w, h = bbox_tl
+        return {"image_id": img_stem, "category_id": cid0,
+                "bbox": [x + w / 2, y + h / 2, w, h], "score": score}
+
+    perfect = [pred("a", 0, [10, 10, 40, 20], 0.9),
+               pred("a", 1, [100, 100, 30, 30], 0.8),
+               pred("b", 0, [50, 60, 20, 40], 0.95)]
+    res = coco_eval_bbox(gt, perfect)
+    assert res["map"] == pytest.approx(1.0, abs=1e-6)
+    assert res["map50"] == pytest.approx(1.0, abs=1e-6)
+
+    wrong_cls = [dict(p, category_id=1 - p["category_id"]) for p in perfect]
+    res_w = coco_eval_bbox(gt, wrong_cls)
+    assert res_w["map"] < 0.5
+
+    shifted = [dict(p, bbox=[p["bbox"][0] + 3, p["bbox"][1] + 3,
+                             p["bbox"][2], p["bbox"][3]]) for p in perfect]
+    res_s = coco_eval_bbox(gt, shifted)
+    assert res_s["map50"] > res_s["map"] >= 0.0
+    assert res_s["map"] < res["map"]

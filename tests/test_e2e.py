@@ -59,6 +59,12 @@ def test_train_val_detect_roundtrip(mini_dota_session, tmp_path):
     res = val_cli.run(vopt)
     assert 0.0 <= res["map50"] <= 1.0
     assert (tmp_path / "runs/val/exp/best_obb_predictions.json").exists()
+    # observability parity: confusion matrix + PR/F1 curves (reference
+    # val.py:174,241-244) and labels.png at train start (train.py:222-241)
+    assert (tmp_path / "runs/val/exp/confusion_matrix.png").exists()
+    for f in ("PR_curve.png", "F1_curve.png", "P_curve.png", "R_curve.png"):
+        assert (tmp_path / "runs/val/exp" / f).exists(), f
+    assert (save_dir / "labels.png").exists()
     assert list((tmp_path / "runs/val/exp/task1_raw").glob("Task1_*.txt"))
     labels = list((tmp_path / "runs/val/exp/labels").glob("*.txt"))
     assert labels, "val --save-txt produced no label files"

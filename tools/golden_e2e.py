@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Golden end-to-end accuracy harness: synthetic DOTA → split → train →
+val → merge → exact devkit OBB mAP.
+
+The container has no real DOTA images, so accuracy evidence comes from a
+deterministic synthetic set with *learnable* class appearance (fixed color
++ aspect ratio per class) driven through the reference's full golden flow
+(docs/GetStart.md:96-185): ImgSplit tiling → train.py with the real
+augmentation pipeline → val.py --save-json → ResultMerge poly-NMS →
+dota_evaluation_task1-style exact polygon-IoU VOC mAP against the
+*original unsplit* labels.
+
+A converged run proves the whole stack learns: assignment, CSL theta,
+decode, rotated NMS, tile merge, and the evaluator all have to be correct
+at once for the merged OBB mAP to approach 1.0.
+
+Usage:
+    python tools/golden_e2e.py --out /tmp/golden --epochs 150
+    python tools/golden_e2e.py --quick          # reduced scale smoke
+Prints one JSON line: {"golden_obb_map": ..., "epochs": ..., ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from yolov5_obb_tpu.data.dota import DOTA_V1_NAMES
+
+# class identity = hue (well separated) + aspect ratio; both survive the
+# training augmentations (hsv_h default 0.015 ≈ ±5° hue, affine preserves
+# aspect)
+_ASPECTS = [1.4 + 0.18 * i for i in range(15)]  # 1.4 .. 3.9
+
+
+def _class_colors():
+    """15 maximally-separated BGR colors (via HSV hue wheel)."""
+    import cv2
+
+    hsv = np.zeros((15, 1, 3), np.uint8)
+    hsv[:, 0, 0] = (np.arange(15) * 180 // 15).astype(np.uint8)
+    hsv[:, 0, 1] = 220
+    hsv[:, 0, 2] = 230
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[:, 0, :]
+
+
+def generate_raw(root: Path, n_images: int = 8, size: int = 768,
+                 grid: int = 4, seed: int = 3):
+    """Synthetic DOTA-format raw set: images/ + labelTxt/ with all 15
+    classes, rotated boxes on a jittered grid (non-overlapping)."""
+    import cv2
+
+    from yolov5_obb_tpu.ops.geometry import rbox2poly
+
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "images").mkdir(exist_ok=True)
+    (root / "labelTxt").mkdir(exist_ok=True)
+    rng = np.random.default_rng(seed)
+    colors = _class_colors()
+    cell = size // grid
+    cls_cursor = 0  # round-robin so every class appears many times
+    for k in range(n_images):
+        img = np.full((size, size, 3), 70, np.uint8)
+        img += rng.integers(0, 25, img.shape, dtype=np.uint8)  # texture
+        lines = ["imagesource:synthetic", "gsd:1.0"]
+        for gy in range(grid):
+            for gx in range(grid):
+                if rng.uniform() < 0.15:
+                    continue  # leave some cells empty (background)
+                cid = cls_cursor % 15
+                cls_cursor += 1
+                asp = _ASPECTS[cid]
+                # box sized to stay inside its cell at any rotation
+                l = rng.uniform(0.55, 0.8) * cell
+                s = float(np.clip(l / asp, 10.0, None))
+                cx = gx * cell + cell / 2 + rng.uniform(-0.08, 0.08) * cell
+                cy = gy * cell + cell / 2 + rng.uniform(-0.08, 0.08) * cell
+                t = rng.uniform(-np.pi / 2, np.pi / 2)
+                poly = rbox2poly(np.array([[cx, cy, l, s, t]]))[0]
+                pts = poly.reshape(4, 2).astype(np.int32)
+                cv2.fillPoly(img, [pts], color=tuple(int(v) for v in colors[cid]))
+                # darker inner core = extra texture/edge signal
+                inner = rbox2poly(np.array([[cx, cy, l * 0.55, s * 0.55, t]]))[0]
+                cv2.fillPoly(img, [inner.reshape(4, 2).astype(np.int32)],
+                             color=tuple(int(v * 0.55) for v in colors[cid]))
+                lines.append(
+                    " ".join(f"{v:.1f}" for v in poly)
+                    + f" {DOTA_V1_NAMES[cid]} 0"
+                )
+        cv2.imwrite(str(root / "images" / f"G{k:03d}.png"), img)
+        (root / "labelTxt" / f"G{k:03d}.txt").write_text("\n".join(lines))
+    return root
+
+
+def write_configs(root: Path, split_dir: Path, hyp_overrides: dict | None = None):
+    import yaml
+
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(
+        f"path: {split_dir}\ntrain: images\nval: images\nnc: 15\n"
+        + "names: [" + ", ".join(DOTA_V1_NAMES) + "]\n"
+    )
+    hyp_base = (Path(__file__).parent.parent / "yolov5_obb_tpu" / "data"
+                / "configs" / "hyp_finetune_dota.yaml")
+    hyp = yaml.safe_load(hyp_base.read_text())
+    # the real aug pipeline, tamed for a small overfit set: mosaic +
+    # flips + mild affine stay ON (they must not break convergence)
+    hyp.update(dict(lr0=0.02, warmup_epochs=3, mosaic=0.5, mixup=0.0,
+                    fliplr=0.5, flipud=0.0, degrees=5.0, scale=0.15,
+                    translate=0.05, shear=0.0, perspective=0.0))
+    hyp.update(hyp_overrides or {})
+    hyp_yaml = root / "hyp.yaml"
+    hyp_yaml.write_text(yaml.dump(hyp))
+    return data_yaml, hyp_yaml
+
+
+def run_flow(out: Path, *, n_images=8, raw_size=768, subsize=384, gap=128,
+             imgsz=192, epochs=150, batch=8, seed=3, use_ema=None,
+             hyp_overrides=None, max_labels=32):
+    """Full golden flow; returns the final merged OBB mAP and stage info."""
+    import train as train_cli
+    import val as val_cli
+    from yolov5_obb_tpu.devkit.converters import json_to_task1
+    from yolov5_obb_tpu.devkit.evaluate import evaluate_task1
+    from yolov5_obb_tpu.devkit.img_split import split_dataset
+    from yolov5_obb_tpu.devkit.result_merge import merge_by_poly_nms
+
+    out.mkdir(parents=True, exist_ok=True)
+    raw = generate_raw(out / "raw", n_images=n_images, size=raw_size,
+                       seed=seed)
+    n_tiles = split_dataset(raw, out / "split", rate=1.0, subsize=subsize,
+                            gap=gap, num_workers=1)
+    print(f"[golden] split: {n_tiles} tiles from {n_images} raw images")
+    data_yaml, hyp_yaml = write_configs(out, out / "split", hyp_overrides)
+
+    topt = types.SimpleNamespace(
+        cfg="yolov5n.yaml", data=str(data_yaml), hyp=str(hyp_yaml),
+        weights="", epochs=epochs, batch_size=batch, nominal_batch=batch,
+        imgsz=imgsz, max_labels=max_labels, workers=0, dtype="float32",
+        seed=seed, noval=True, nosave=False, val_images=4, save_period=-1,
+        patience=10**9, linear_lr=False, image_weights=False, adam=False,
+        resume="", log_interval=10**9, evolve=0, single_cls=False,
+        cache=None, label_smoothing=0.0, noautoanchor=False, freeze=0,
+        project=str(out / "train"), name="run", exist_ok=True,
+    )
+    save_dir, _, _ = train_cli.run(topt)
+
+    # short runs: EMA is still ~initial weights (decay ramp /2000) — use
+    # raw params unless the run was long enough for EMA to catch up
+    steps = epochs * max(1, n_tiles // batch)
+    weights = save_dir / "last"
+    if use_ema is None:
+        use_ema = steps > 6000
+    if not use_ema:
+        import orbax.checkpoint as ocp
+
+        ck = ocp.PyTreeCheckpointer()
+        t = ck.restore(Path(weights).absolute())
+        weights = save_dir / "raw"
+        ck.save(Path(weights).absolute(),
+                {"params": t["params"], "batch_stats": t["batch_stats"]},
+                force=True)
+        # carry meta.json (names + evolved anchors) to the raw weights
+        mp = save_dir / "last" / "meta.json"
+        if mp.exists():
+            (weights / "meta.json").write_text(mp.read_text())
+
+    vopt = types.SimpleNamespace(
+        weights=str(weights), cfg="yolov5n.yaml", data=str(data_yaml),
+        task="val", imgsz=imgsz, batch_size=max(2, batch // 2),
+        conf_thres=0.01, iou_thres=0.4, max_det=200, max_images=None,
+        save_json=True, save_task1=False, save_txt=False, save_conf=False,
+        hyp=None, project=str(out / "val"), name="run", exist_ok=True,
+    )
+    vres = val_cli.run(vopt)
+    json_path = out / "val" / "run" / "best_obb_predictions.json"
+
+    # tile-name offsets → original-image coords → cross-tile poly NMS →
+    # exact-poly VOC eval vs the ORIGINAL (unsplit) labels
+    task1 = out / "merge" / "task1_raw"
+    json_to_task1(json_path, task1, DOTA_V1_NAMES)
+    merged = out / "merge" / "merged"
+    merge_by_poly_nms(task1, merged, nms_thresh=0.2, num_workers=1)
+    image_ids = sorted(p.stem for p in (raw / "labelTxt").glob("*.txt"))
+    mean_ap, classaps = evaluate_task1(
+        merged, raw / "labelTxt", image_ids, DOTA_V1_NAMES, ovthresh=0.5,
+    )
+    return {
+        "golden_obb_map": round(float(mean_ap), 4),
+        "hbb_map50": round(float(vres["map50"]), 4),
+        "tiles": n_tiles, "epochs": epochs, "imgsz": imgsz,
+        "classaps": {k: round(float(v), 3) for k, v in classaps.items()},
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="runs/golden_e2e")
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--imgsz", type=int, default=192)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n-images", type=int, default=8)
+    p.add_argument("--quick", action="store_true",
+                   help="reduced scale (fewer raw images + epochs)")
+    p.add_argument("--assert-map", type=float, default=None,
+                   help="exit 1 if merged OBB mAP is below this")
+    a = p.parse_args()
+    kw: dict = {}
+    if a.quick:
+        kw = dict(n_images=4, raw_size=640, subsize=384, gap=128,
+                  epochs=min(a.epochs, 60))
+    else:
+        kw = dict(n_images=a.n_images, epochs=a.epochs)
+    res = run_flow(Path(a.out), imgsz=a.imgsz, batch=a.batch, **kw)
+    print(json.dumps(res))
+    if a.assert_map is not None and res["golden_obb_map"] < a.assert_map:
+        print(f"FAIL: map {res['golden_obb_map']} < {a.assert_map}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

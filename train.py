@@ -133,6 +133,20 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         )
     steps_per_epoch = max(len(train_ds) // opt.batch_size, 1)
 
+    # label-distribution snapshot at train start (reference train.py:222-241
+    # plot_labels → labels.jpg)
+    try:
+        from yolov5_obb_tpu.ops.geometry import poly2rbox
+        from yolov5_obb_tpu.utils.plots import plot_labels
+
+        all_polys = [p for p in train_ds.polys if len(p)]
+        if all_polys:
+            rb = poly2rbox(np.concatenate(all_polys).astype(np.float64))
+            plot_labels(rb, np.concatenate([c for c in train_ds.cls if len(c)]),
+                        names, save_dir)
+    except Exception as e:
+        print(f"plot_labels failed: {e}")
+
     # --- model / loss / optimizer -------------------------------------
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     model, variables, meta = create_model(

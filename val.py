@@ -46,6 +46,11 @@ def parse_opt():
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--no-fuse", action="store_true",
                    help="skip load-time Conv+BN folding")
+    p.add_argument("--no-plots", action="store_true",
+                   help="skip confusion-matrix / PR-curve PNGs")
+    p.add_argument("--coco-eval", action="store_true",
+                   help="COCO-style bbox AP from the saved json "
+                        "(reference val.py:299-323 pycocotools branch)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard eval batches over N devices (0 = single device)")
     p.add_argument("--dtype", type=str, default="float32",
@@ -98,7 +103,24 @@ def run(opt):
     from yolov5_obb_tpu.models.backend import is_artifact, make_backend_predict_fn
 
     predict_fn = None
-    if opt.weights and is_artifact(opt.weights):
+    if opt.weights and "," in str(opt.weights):
+        # model-level ensemble: decoded candidates of every member are
+        # concatenated inside one jit then NMS'd (reference Ensemble,
+        # experimental.py:75-120); `--weights a,b` like the reference CLI
+        from yolov5_obb_tpu.engine.evaluator import (
+            load_ensemble_members,
+            make_ensemble_predict_fn,
+        )
+
+        wlist = [w.strip() for w in str(opt.weights).split(",") if w.strip()]
+        members, _ = load_ensemble_members(
+            wlist, opt.cfg, nc, opt.imgsz,
+            fuse=not getattr(opt, "no_fuse", False))
+        predict_fn = make_ensemble_predict_fn(
+            members, opt.conf_thres, opt.iou_thres, opt.max_det,
+            multi_label=True)
+        model = variables = meta = None
+    elif opt.weights and is_artifact(opt.weights):
         # exported-artifact backend (reference DetectMultiBackend in val)
         predict_fn, _ = make_backend_predict_fn(
             opt.weights, opt.cfg, nc, opt.imgsz, opt.conf_thres,
@@ -151,6 +173,7 @@ def run(opt):
         verbose=True, tta=getattr(opt, "augment", False),
         save_json=str(save_dir / "best_obb_predictions.json") if opt.save_json else None,
         max_images=opt.max_images, mesh=mesh, predict_fn=predict_fn,
+        plots_dir=None if getattr(opt, "no_plots", False) else save_dir,
     )
     header = f"{'Class':>22}{'P':>10}{'R':>10}{'HBBmAP@.5':>12}{'HBBmAP@.5:.95':>15}"
     print(header)
@@ -180,6 +203,25 @@ def run(opt):
                         ["item"] if single_cls else d["names"],
                         save_dir / "task1_raw")
         print(f"Task1 txts saved to {save_dir / 'task1_raw'}")
+    if getattr(opt, "coco_eval", False) and opt.save_json:
+        # reference val.py:299-323: COCO bbox eval of the saved predictions.
+        # GT json is generated from the split's labelTxt on the fly.
+        try:
+            from yolov5_obb_tpu.devkit.coco_eval import coco_eval_bbox
+            from yolov5_obb_tpu.devkit.converters import dota_to_coco
+
+            gt_json = save_dir / "gt_coco.json"
+            dota_to_coco(Path(split).parent, gt_json,
+                         ["item"] if single_cls else d["names"])
+            cres = coco_eval_bbox(gt_json,
+                                  save_dir / "best_obb_predictions.json")
+            print(
+                f"COCO bbox eval: AP@[.5:.95]={cres['map']:.4f} "
+                f"AP50={cres['map50']:.4f} AP75={cres['map75']:.4f}"
+            )
+            res["coco"] = cres
+        except Exception as e:
+            print(f"COCO eval failed: {e}")
     print(f"Results saved to {save_dir}")
     return res
 

@@ -86,6 +86,82 @@ def make_predict_fn(model, meta, conf_thres, iou_thres, max_det, multi_label=Tru
     return predict
 
 
+def load_ensemble_members(weights_list, cfg, nc, imgsz, dtype=None,
+                          fuse: bool = True):
+    """Load N checkpoints as ensemble members (reference attempt_load with
+    a weights list, experimental.py:90-120).
+
+    ``cfg``: one config for all members, or a comma-separated list pairing
+    each weight.  Each member restores its own checkpoint-side meta
+    (evolved anchors) and is Conv+BN-folded."""
+    from ..models.yolo import create_model
+    from ..utils.checkpoint import load_weights, restore_model_meta
+    from ..utils.fuse import fuse_for_inference
+
+    cfgs = [c.strip() for c in str(cfg).split(",")] if cfg else ["yolov5m.yaml"]
+    if len(cfgs) == 1:
+        cfgs = cfgs * len(weights_list)
+    if len(cfgs) != len(weights_list):
+        raise ValueError(
+            f"{len(weights_list)} weights but {len(cfgs)} configs")
+    members = []
+    names = None
+    for w, c in zip(weights_list, cfgs):
+        model, variables, meta = create_model(
+            c, nc=nc, imgsz=imgsz, **({"dtype": dtype} if dtype else {}))
+        variables, wmeta = load_weights(w)
+        restore_model_meta(meta, wmeta)
+        variables = fuse_for_inference(variables, enable=fuse)
+        names = names or wmeta.get("names")
+        members.append((model, variables, meta))
+    return members, names
+
+
+def make_ensemble_predict_fn(members, conf_thres, iou_thres, max_det,
+                             multi_label=True, max_candidates=4096,
+                             agnostic=False, classes=None):
+    """Model-level ensemble inference (reference experimental.py:75-120
+    ``Ensemble``/``attempt_load`` with several weights): every member's
+    decoded candidates are concatenated along the anchor axis inside one
+    jit and suppressed by a single rotated NMS — the 'nms ensemble' of the
+    reference's ``torch.cat(y, 1)``.
+
+    ``members``: list of ``(model, variables, meta)``; architectures may
+    differ, ``nc`` must match."""
+    classes = tuple(int(c) for c in classes) if classes is not None else None
+    if not members:
+        raise ValueError("ensemble needs at least one member")
+    nc = members[0][2].nc
+    if any(m[2].nc != nc for m in members):
+        raise ValueError("ensemble members must share nc")
+    models = [m[0] for m in members]
+    metas = [m[2] for m in members]
+    member_vars = tuple(m[1] for m in members)
+
+    @jax.jit
+    def predict(variables_tuple, image_u8):
+        x = image_u8.astype(jnp.float32) / 255.0
+        preds = [
+            decode(mod.apply(v, x, train=False), meta)
+            for mod, v, meta in zip(models, variables_tuple, metas)
+        ]
+        pred = jnp.concatenate(preds, axis=1)  # (B, sum n_anchors, no)
+        return non_max_suppression_obb(
+            pred, num_classes=nc, conf_thres=conf_thres, iou_thres=iou_thres,
+            max_candidates=max_candidates, max_det=max_det,
+            multi_label=multi_label, agnostic=agnostic, classes=classes,
+        )
+
+    def call(variables, image_u8):
+        # ``variables`` arg kept for signature parity with make_predict_fn;
+        # the ensemble's member variables are closed over at build time.
+        del variables
+        return predict(member_vars, image_u8)
+
+    call.packed_stem = False
+    return call
+
+
 def pack_images(batch_u8):
     """NHWC uint8 batch → the packed ``(B, H, W*3)`` view a packed-stem
     predict fn expects.  A zero-copy reshape for contiguous arrays."""
@@ -110,17 +186,26 @@ def evaluate(
     tta: bool = False,
     mesh=None,
     predict_fn=None,
+    plots_dir=None,
 ):
     """Run HBB-metric evaluation over `dataset`.
 
     ``predict_fn(variables, image_u8) -> (dets, num)`` overrides the model
     forward (used for exported-artifact backends).
 
+    ``plots_dir``: write confusion_matrix.png + PR/F1/P/R curve PNGs there
+    (reference val.py:174,241-244 / metrics.py plot=True).
+
     Returns dict with mp, mr, map50, map, per-class ap, speed stats, and the
     raw per-image detections (native-resolution polys) for downstream export.
     """
     names = dataset.names
     iouv = np.linspace(0.5, 0.95, 10)
+    confusion = None
+    if plots_dir is not None:
+        from ..utils.metrics import ConfusionMatrix
+
+        confusion = ConfusionMatrix(nc=len(names))
     predict = predict_fn or make_predict_fn(
         model, meta, conf_thres, iou_thres, max_det, multi_label=True, tta=tta,
         mesh=mesh,
@@ -195,6 +280,8 @@ def evaluate(
 
             tp = process_batch_hbb(det_xyxy, conf, cls, gt_xyxy, gt_cls, iouv)
             stats.append((tp, conf, cls, gt_cls))
+            if confusion is not None:
+                confusion.process_batch(det_xyxy, conf, cls, gt_xyxy, gt_cls)
             all_dets.append(
                 {"path": dataset.img_files[s["index"]], "polys": polys,
                  "conf": conf, "cls": cls, "hw": (int(h0), int(w0))}
@@ -225,14 +312,41 @@ def evaluate(
         tp = np.zeros((0, 10), bool)
         conf = cls = tcls = np.zeros(0)
 
+    curves = None
     if tp.size and tcls.size:
-        p, r, ap, f1, cls_idx = ap_per_class(tp, conf, cls, tcls)
+        p, r, ap, f1, cls_idx, curves = ap_per_class(
+            tp, conf, cls, tcls, return_curves=True)
         ap50, ap_mean = ap[:, 0], ap.mean(1)
         mp, mr, map50, map_ = p.mean(), r.mean(), ap50.mean(), ap_mean.mean()
     else:
         p = r = ap50 = ap_mean = np.zeros(0)
+        ap = np.zeros((0, 10))
         cls_idx = np.zeros(0, int)
         mp = mr = map50 = map_ = 0.0
+
+    if plots_dir is not None:
+        from ..utils.plots import (
+            plot_confusion_matrix,
+            plot_mc_curve,
+            plot_pr_curve,
+        )
+
+        pdir = Path(plots_dir)
+        pdir.mkdir(parents=True, exist_ok=True)
+        try:
+            plot_confusion_matrix(confusion.matrix, list(names) + ["background"],
+                                  pdir / "confusion_matrix.png")
+            if curves is not None:
+                cnames = [names[int(c)] for c in cls_idx]
+                plot_pr_curve(curves["px"], list(curves["pr_py"]), ap,
+                              pdir / "PR_curve.png", cnames)
+                for key, ylab, fname in (("f1", "F1", "F1_curve.png"),
+                                         ("p", "Precision", "P_curve.png"),
+                                         ("r", "Recall", "R_curve.png")):
+                    plot_mc_curve(curves["px"], curves[key],
+                                  pdir / fname, cnames, ylabel=ylab)
+        except Exception as e:  # plotting must never fail an eval run
+            print(f"eval plots failed: {e}")
 
     if save_json is not None:
         Path(save_json).parent.mkdir(parents=True, exist_ok=True)

@@ -39,17 +39,21 @@ def compute_ap(recall, precision, method: str = "interp"):
     return ap, mpre, mrec
 
 
-def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
+def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16,
+                 return_curves: bool = False):
     """Per-class AP across IoU thresholds (reference metrics.py:21-86).
 
     Args:
         tp: (n_pred, n_iou) bool TP matrix.
         conf, pred_cls: (n_pred,).
         target_cls: (n_gt,).
+        return_curves: also return the plot curves (reference's plot=True).
 
     Returns:
         p, r, ap, f1, unique_classes — p/r/f1 at max-F1 confidence,
-        ap (n_cls, n_iou).
+        ap (n_cls, n_iou).  With ``return_curves``, a 6th element: dict of
+        px (1000,), pr_py (nc, 1000) precision-at-recall @IoU0.5, and the
+        p/r/f1-vs-confidence curves (nc, 1000).
     """
     order = np.argsort(-conf)
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
@@ -60,6 +64,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    pr_py = np.zeros((nc, 1000))  # precision over the recall grid @IoU .5
     for ci, c in enumerate(unique_classes):
         i = pred_cls == c
         n_l = nt[ci]
@@ -73,12 +78,18 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
         r_curve[ci] = np.interp(-px, -conf[i], recall[:, 0], left=0)
         p_curve[ci] = np.interp(-px, -conf[i], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                pr_py[ci] = np.interp(px, mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i = f1_curve.mean(0).argmax()
     p, r, f1 = p_curve[:, i], r_curve[:, i], f1_curve[:, i]
-    return p, r, ap, f1, unique_classes.astype(int)
+    out = (p, r, ap, f1, unique_classes.astype(int))
+    if return_curves:
+        out += ({"px": px, "pr_py": pr_py, "p": p_curve, "r": r_curve,
+                 "f1": f1_curve},)
+    return out
 
 
 def process_batch_hbb(det_xyxy, det_conf, det_cls, gt_xyxy, gt_cls, iouv):

@@ -71,6 +71,35 @@ def plot_pr_curve(px, py, ap, save_path, names=()):
     plt.close(fig)
 
 
+def plot_mc_curve(px, py, save_path, names=(), xlabel="Confidence",
+                  ylabel="Metric"):
+    """Metric-vs-confidence curves, e.g. F1/P/R (reference
+    metrics.py:328-344)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    py = np.atleast_2d(py)
+    if 0 < len(names) < 21:
+        for i, y in enumerate(py):
+            ax.plot(px, y, linewidth=1, label=str(names[i]))
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = py.mean(0)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+    return save_path
+
+
 def plot_results(csv_path, save_path=None):
     """Loss/metric curves from results.csv (reference plots.py:442-466)."""
     import csv as _csv
