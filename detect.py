@@ -185,6 +185,9 @@ def run(opt):
 
         variables = fuse_for_inference(
             variables, enable=not getattr(opt, "no_fuse", False))
+        # stage host-numpy params (orbax restore / BN folding) on device
+        # once — jit re-transfers host arguments on every call
+        variables = jax.device_put(variables)
 
         predict = make_predict_fn(
             model, meta, opt.conf_thres, opt.iou_thres, opt.max_det,

@@ -204,3 +204,21 @@ def test_image_cache_identical_and_isolated(mini_dota, tmp_path, mode):
     img[:] = 0
     img2, *_ = cached.load_image(0)
     assert img2.max() > 0
+
+
+def test_extra_augment_shapes_and_determinism():
+    """Optional photometric extras (reference albumentations block): pixel
+    shapes preserved, polys untouched, deterministic under a seeded rng."""
+    from yolov5_obb_tpu.data.augment import extra_augment
+
+    base = np.random.default_rng(1).integers(0, 255, (64, 64, 3), np.uint8)
+    a = base.copy()
+    b = base.copy()
+    extra_augment(a, np.random.default_rng(7), p=1.0)
+    extra_augment(b, np.random.default_rng(7), p=1.0)
+    assert a.shape == base.shape and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, base)  # p=1.0 → transforms applied
+    c = base.copy()
+    extra_augment(c, np.random.default_rng(7), p=0.0)
+    np.testing.assert_array_equal(c, base)  # p=0 → no-op

@@ -177,3 +177,39 @@ def test_coco_eval_bbox_perfect_and_degraded(tmp_path):
     res_s = coco_eval_bbox(gt, shifted)
     assert res_s["map50"] > res_s["map"] >= 0.0
     assert res_s["map"] < res["map"]
+
+
+@pytest.mark.parametrize("classnames", [["ship"], ["car", "airplane"]])
+def test_evaluate_task1_other_datasets(tmp_path, classnames):
+    """hrsc2016 (single 'ship' class) and ucasaod ('car'/'airplane') class
+    lists through the parameterized evaluator (reference
+    hrsc2016_evaluation.py:87 / ucasaod_evaluation.py:87): perfect
+    detections → AP 1.0 per class."""
+    rng = np.random.default_rng(42)
+    anno = tmp_path / "labelTxt"
+    det = tmp_path / "dets"
+    anno.mkdir()
+    det.mkdir()
+    det_files = {c: [] for c in classnames}
+    ids = []
+    for k in range(3):
+        img_id = f"IM{k:04d}"
+        ids.append(img_id)
+        lines = []
+        for b in range(4):
+            cx, cy = rng.uniform(100, 900, 2)
+            l, s = rng.uniform(60, 120), rng.uniform(20, 50)
+            t = rng.uniform(-np.pi / 2, np.pi / 2)
+            poly = rbox2poly(np.array([[cx, cy, l, s, t]]))[0]
+            cls = classnames[b % len(classnames)]
+            lines.append(" ".join(f"{v:.1f}" for v in poly) + f" {cls} 0")
+            det_files[cls].append(
+                f"{img_id} {rng.uniform(0.5, 1.0):.3f} "
+                + " ".join(f"{v:.1f}" for v in poly))
+        (anno / f"{img_id}.txt").write_text("\n".join(lines))
+    for c, rows in det_files.items():
+        (det / f"Task1_{c}.txt").write_text("\n".join(rows))
+    mean_ap, classaps = evaluate_task1(det, anno, ids, classnames)
+    assert mean_ap == pytest.approx(1.0, abs=1e-6)
+    for c in classnames:
+        assert classaps[c] == pytest.approx(1.0, abs=1e-6)

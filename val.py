@@ -180,6 +180,13 @@ def run(opt):
     print(f"{'all':>22}{res['mp']:>10.3f}{res['mr']:>10.3f}{res['map50']:>12.4f}{res['map']:>15.4f}")
     for name, m in res["per_class"].items():
         print(f"{name:>22}{m['p']:>10.3f}{m['r']:>10.3f}{m['ap50']:>12.4f}{m['ap']:>15.4f}")
+    # reference val.py:288-291 per-image speed split (decode+NMS is fused
+    # into the jitted forward here, so it reports as one inference stage)
+    print(
+        f"Speed: {res.get('speed_pre_ms_per_img', 0.0):.1f}ms pre-process, "
+        f"{res['speed_ms_per_img']:.1f}ms inference+NMS per image at shape "
+        f"({opt.batch_size}, {opt.imgsz}, {opt.imgsz}, 3)"
+    )
     if getattr(opt, "save_txt", False):
         # reference val.py save_one_txt: normalized HBB `cls cx cy w h [conf]`
         from yolov5_obb_tpu.ops.geometry import poly2hbb

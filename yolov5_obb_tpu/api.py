@@ -153,7 +153,9 @@ class OBBModel:
             names = names or wmeta.get("names")
         from .utils.fuse import fuse_for_inference
 
-        self.variables = fuse_for_inference(self.variables)
+        # fold Conv+BN, then stage the (host-numpy) tree on device once —
+        # jit re-transfers host arguments on every call
+        self.variables = jax.device_put(fuse_for_inference(self.variables))
         self.names = list(names) if names else [str(i) for i in range(self.meta.nc)]
         self.predict = make_predict_fn(
             self.model, self.meta, conf_thres, iou_thres, max_det, multi_label=False

@@ -131,6 +131,32 @@ def flip_polys_lr(polys, img_w):
     return out
 
 
+def extra_augment(img, rng: np.random.Generator, p: float = 0.01):
+    """Optional photometric extras (reference utils/augmentations.py:17-45
+    Albumentations block: Blur / MedianBlur / ToGray / CLAHE, each p=0.01).
+
+    Pixel-only — polys are untouched.  Opt-in via hyp ``extra_aug`` (the
+    probability per transform; reference default 0.01 when albumentations
+    is installed)."""
+    import cv2
+
+    if rng.random() < p:  # box blur
+        k = int(rng.integers(3, 8)) | 1
+        img[:] = cv2.blur(img, (k, k))
+    if rng.random() < p:  # median blur
+        k = int(rng.integers(3, 8)) | 1
+        img[:] = cv2.medianBlur(img, k)
+    if rng.random() < p:  # grayscale
+        g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        img[:] = g[..., None]
+    if rng.random() < p:  # CLAHE on luma
+        yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV)
+        clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        yuv[..., 0] = clahe.apply(yuv[..., 0])
+        img[:] = cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR)
+    return img
+
+
 def mixup(img1, polys1, cls1, img2, polys2, cls2, rng: np.random.Generator):
     """Beta(32,32) image blend, label union (reference augmentations.py:276-281)."""
     r = rng.beta(32.0, 32.0)

@@ -341,6 +341,9 @@ class DotaDataset:
             shapes = ((h0, w0), ((img.shape[0] / h0, img.shape[1] / w0), pad))
 
         if self.augment:
+            if hyp.get("extra_aug", 0.0) > 0:
+                img = np.ascontiguousarray(img)
+                A.extra_augment(img, rng, p=hyp["extra_aug"])
             A.hsv_augment(
                 img, rng,
                 hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4),

@@ -136,7 +136,8 @@ def make_ensemble_predict_fn(members, conf_thres, iou_thres, max_det,
         raise ValueError("ensemble members must share nc")
     models = [m[0] for m in members]
     metas = [m[2] for m in members]
-    member_vars = tuple(m[1] for m in members)
+    # stage every member's (host-numpy) params on device once
+    member_vars = jax.device_put(tuple(m[1] for m in members))
 
     @jax.jit
     def predict(variables_tuple, image_u8):
@@ -214,6 +215,11 @@ def evaluate(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    elif variables is not None:
+        # stage params on device ONCE: orbax restore / Conv+BN folding hand
+        # back host-numpy trees, and jit re-transfers host arguments on
+        # every call (50+ MB per batch through this container's dev tunnel)
+        variables = jax.device_put(variables)
 
     stats = []  # (tp, conf, cls, target_cls) per image
     json_out = []
@@ -224,9 +230,13 @@ def evaluate(
     # one-deep software pipeline: dispatch batch N+1 (async under jit)
     # before materialising batch N, so host postprocess (poly conversion,
     # HBB matching, json) overlaps device compute.
+    t_pre_box = [0.0]  # host pre-processing (decode+letterbox) seconds
+
     def _dispatch(start):
         idxs = list(range(start, min(start + batch_size, n_img)))
+        tp0 = time.perf_counter()
         samples = [dataset.get_eval_sample(i) for i in idxs]
+        t_pre_box[0] += time.perf_counter() - tp0
         pad = batch_size - len(samples)
         batch_imgs = np.stack([s["image"] for s in samples + [samples[-1]] * pad])
         if getattr(predict, "packed_stem", False):
@@ -364,6 +374,7 @@ def evaluate(
             for i, c in enumerate(cls_idx)
         },
         "speed_ms_per_img": 1000.0 * t_infer / max(n_img, 1),
+        "speed_pre_ms_per_img": 1000.0 * t_pre_box[0] / max(n_img, 1),
         "detections": all_dets,
     }
     if verbose:

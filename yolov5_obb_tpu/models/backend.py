@@ -53,7 +53,9 @@ class MultiBackend:
 
             variables, wmeta = load_weights(p)
             restore_model_meta(meta, wmeta)
-            variables = fuse_for_inference(variables)
+            # fold BN, then stage the host-numpy tree on device once — jit
+            # re-transfers host arguments on every call
+            variables = jax.device_put(fuse_for_inference(variables))
             self.names = wmeta.get("names")
             self.meta = meta
 
