@@ -13,8 +13,10 @@ import time
 
 import numpy as np
 
+import os
+
 BASELINE_MS = 11.3
-BATCH = 16
+BATCH = int(os.environ.get("BENCH_BATCH", 16))  # driver runs the default b16
 IMGSZ = 1024
 
 
@@ -105,7 +107,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "yolov5m_b16_1024_infer_nms_ms_per_img",
+                "metric": f"yolov5m_b{BATCH}_1024_infer_nms_ms_per_img",
                 "value": round(ms_per_img, 3),
                 "unit": "ms/img",
                 "vs_baseline": round(BASELINE_MS / ms_per_img, 3),

@@ -1,0 +1,39 @@
+"""Golden accuracy evidence: the full split → train (real aug) → val →
+merge → devkit-OBB-mAP flow must LEARN, not just run.
+
+Reference counterpart: the documented demo-dataset golden flow
+(docs/GetStart.md:96-185) whose expected devkit output is ``map: 0.666...``
+on 2 images.  Here the set is synthetic (no DOTA images in this
+container) with learnable class appearance; the asserted golden is the
+merged exact-poly OBB mAP after a short-but-converging training run.
+
+Marked nightly: the full run is ~45 min on this container's single CPU
+core (the calibrated run `tools/golden_e2e.py --epochs 800 --imgsz 160`
+reaches the documented mAP in PARITY.md).  The quick variant asserts the
+flow learns at all (mAP well above chance after a few hundred epochs).
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+
+@pytest.mark.slow
+@pytest.mark.nightly
+def test_golden_flow_learns(tmp_path):
+    from golden_e2e import run_flow
+
+    res = run_flow(
+        tmp_path / "golden", n_images=4, raw_size=640, subsize=384, gap=128,
+        imgsz=128, epochs=250, batch=8, hyp_overrides={"lr0": 0.025},
+    )
+    # chance level is ~0; a working train/decode/NMS/merge/eval stack on
+    # 16 tiles reaches >= 0.10 by epoch 250 (calibration r2: 0.118 @200ep,
+    # 0.55 @800ep/24 tiles, see PARITY.md golden row)
+    assert res["golden_obb_map"] >= 0.10, res
+    assert res["hbb_map50"] >= 0.10, res
