@@ -195,8 +195,49 @@ class BottleneckCSP(nn.Module):
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(y, train)
 
 
+class _CBAParams(nn.Module):
+    """Parameter-only twin of ``ConvBnAct`` — same scope/param names, so
+    variables interchange freely between the stock and fused C3 paths."""
+
+    ci: int
+    co: int
+    k: int = 1
+
+    @nn.compact
+    def __call__(self):
+        kernel = _AnyConvParams((self.k, self.k, self.ci, self.co),
+                                name="Conv_0")()
+        bn = _StemBnParams(self.co, name="BatchNorm_0")()
+        return kernel, bn
+
+
+class _AnyConvParams(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          tuple(self.shape), jnp.float32)
+
+
+class _BottleneckParams(nn.Module):
+    c_: int
+
+    @nn.compact
+    def __call__(self):
+        a = _CBAParams(self.c_, self.c_, 1, name="ConvBnAct_0")()
+        b = _CBAParams(self.c_, self.c_, 3, name="ConvBnAct_1")()
+        return a, b
+
+
 class C3(nn.Module):
-    """CSP bottleneck with 3 convs (reference models/common.py:126-138)."""
+    """CSP bottleneck with 3 convs (reference models/common.py:126-138).
+
+    ``fused=True`` (inference only): when the block is eligible
+    (c1 == c2, n == 2, shortcut, g == 1, e == 0.5, H/W 8-aligned), the
+    whole block runs as one Pallas kernel (ops/pallas/c3_kernel.py) — one
+    HBM read, one write, every BN folded.  The parameter tree is identical
+    to the stock path, so checkpoints load into either."""
 
     c1: int
     c2: int
@@ -205,9 +246,23 @@ class C3(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: DType = jnp.float32
+    fused: bool = False
+
+    def _eligible(self, x, train):
+        return (
+            self.fused and not train and not self.is_initializing()
+            and self.c1 == self.c2 and self.n == 2 and self.shortcut
+            and self.g == 1 and self.e == 0.5 and self.c1 % 16 == 0
+            and x.ndim == 4 and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
+            # only high-resolution blocks benefit (small-C convs at large
+            # spatial extents are where XLA layout churn dominates)
+            and x.shape[1] * x.shape[2] >= 128 * 128
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self._eligible(x, train):
+            return self._fused_call(x)
         c_ = int(self.c2 * self.e)
         y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype)(x, train)
         for _ in range(self.n):
@@ -218,6 +273,39 @@ class C3(nn.Module):
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(
             jnp.concatenate([y1, y2], axis=-1), train
         )
+
+    def _fused_call(self, x):
+        from ..ops.pallas.c3_kernel import fused_c3
+
+        c_ = self.c1 // 2
+
+        def fold(kernel, bn, eps=1e-3):
+            scale, bias, mean, var = bn
+            g = scale * jax.lax.rsqrt(var + eps)
+            ss = jnp.stack([g, bias - mean * g]).astype(jnp.float32)
+            return kernel.astype(jnp.bfloat16), ss
+
+        w1, s1 = fold(*_CBAParams(self.c1, c_, 1, name="ConvBnAct_0")())
+        b1 = _BottleneckParams(c_, name="Bottleneck_0")()
+        b2 = _BottleneckParams(c_, name="Bottleneck_1")()
+        w2, s2 = fold(*_CBAParams(self.c1, c_, 1, name="ConvBnAct_1")())
+        w3, s3 = fold(*_CBAParams(self.c1, self.c2, 1, name="ConvBnAct_2")())
+
+        def taps(kern_bf16):
+            return kern_bf16.reshape(9 * c_, c_)
+
+        wb1a, sb1a = fold(*b1[0])
+        wb1t, sb1t = fold(*b1[1])
+        wb2a, sb2a = fold(*b2[0])
+        wb2t, sb2t = fold(*b2[1])
+        w3f = w3[0, 0]  # (2c_, c2)
+        out = fused_c3(
+            x.astype(jnp.bfloat16),
+            w1[0, 0], s1, wb1a[0, 0], sb1a, taps(wb1t), sb1t,
+            wb2a[0, 0], sb2a, taps(wb2t), sb2t,
+            w2[0, 0], s2, w3f[:c_], w3f[c_:], s3,
+        )
+        return out.astype(self.dtype)
 
 
 class TransformerLayer(nn.Module):

@@ -230,7 +230,7 @@ def decode(maps, meta: ModelMeta):
 # ---------------------------------------------------------------------------
 
 
-def _build_module(spec: LayerSpec, dtype, name: str):
+def _build_module(spec: LayerSpec, dtype, name: str, fused_c3: bool = False):
     kind, a = spec.name, spec.args
     mk = {
         # Conv args are [c1, c2, k, s, ...]; ConvBnAct takes c2 onwards
@@ -238,7 +238,7 @@ def _build_module(spec: LayerSpec, dtype, name: str):
         "DWConv": lambda: L.DWConv(*a, dtype=dtype, name=name),
         "Bottleneck": lambda: L.Bottleneck(*a, dtype=dtype, name=name),
         "BottleneckCSP": lambda: L.BottleneckCSP(*a, dtype=dtype, name=name),
-        "C3": lambda: L.C3(*a, dtype=dtype, name=name),
+        "C3": lambda: L.C3(*a, dtype=dtype, fused=fused_c3, name=name),
         "C3TR": lambda: L.C3TR(*a, dtype=dtype, name=name),
         "C3SPP": lambda: L.C3SPP(*a, dtype=dtype, name=name),
         "C3Ghost": lambda: L.C3Ghost(*a, dtype=dtype, name=name),
@@ -279,6 +279,7 @@ class YoloModel(nn.Module):
     na: int
     dtype: Any = jnp.float32
     packed_stem: bool = False
+    fused_c3: bool = False  # eligible C3 blocks run as one Pallas kernel
 
     @nn.compact
     def __call__(self, x, train: bool = False, flat: bool = False):
@@ -309,7 +310,7 @@ class YoloModel(nn.Module):
             h = fetch(f) if isinstance(f, int) else [fetch(j) for j in f]
             for r in range(spec.repeats):
                 name = f"m{spec.index}" if spec.repeats == 1 else f"m{spec.index}_{r}"
-                h = _build_module(spec, self.dtype, name)(h, train)
+                h = _build_module(spec, self.dtype, name, self.fused_c3)(h, train)
             y.append(h)
         # graphs without a Detect head (classification configs, truncated
         # sub-graphs) yield the last layer's output
@@ -322,7 +323,7 @@ class YoloModel(nn.Module):
 
 
 def build_model(cfg, nc: int | None = None, dtype=jnp.float32,
-                packed_stem: bool = False):
+                packed_stem: bool = False, fused_c3: bool = False):
     """Load config → (YoloModel, ModelMeta-without-strides, raw dict)."""
     d = load_config(cfg)
     if nc is not None and nc != d.get("nc"):
@@ -334,7 +335,7 @@ def build_model(cfg, nc: int | None = None, dtype=jnp.float32,
         # (Focus/yolov3 variants) — the packed path only accelerates that stem
         packed_stem = s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]
     model = YoloModel(specs=tuple(specs), nc=nc_, na=na, dtype=dtype,
-                      packed_stem=packed_stem)
+                      packed_stem=packed_stem, fused_c3=fused_c3)
     meta = ModelMeta(nc=nc_, nl=anchors_px.shape[0], na=na, strides=(), anchors_px=anchors_px)
     return model, meta, d
 
@@ -388,9 +389,15 @@ def init_model(model: YoloModel, meta: ModelMeta, rng, imgsz: int = 640):
 
 
 def create_model(cfg, nc: int | None = None, dtype=jnp.float32, rng=None, imgsz: int = 640,
-                 packed_stem: bool = False):
-    """One-call constructor: (model, variables, meta)."""
-    model, meta, d = build_model(cfg, nc=nc, dtype=dtype, packed_stem=packed_stem)
+                 packed_stem: bool = False, fused_c3: bool | None = None):
+    """One-call constructor: (model, variables, meta).
+
+    ``fused_c3`` defaults to ``packed_stem`` (both are the TPU inference
+    fast path; training/export builds leave them off)."""
+    if fused_c3 is None:
+        fused_c3 = packed_stem
+    model, meta, d = build_model(cfg, nc=nc, dtype=dtype,
+                                 packed_stem=packed_stem, fused_c3=fused_c3)
     meta = probe_strides(model, meta)
     meta.names = d.get("names")
     if rng is None:
