@@ -346,15 +346,23 @@ def evaluate(
         try:
             plot_confusion_matrix(confusion.matrix, list(names) + ["background"],
                                   pdir / "confusion_matrix.png")
-            if curves is not None:
-                cnames = [names[int(c)] for c in cls_idx]
-                plot_pr_curve(curves["px"], list(curves["pr_py"]), ap,
-                              pdir / "PR_curve.png", cnames)
-                for key, ylab, fname in (("f1", "F1", "F1_curve.png"),
-                                         ("p", "Precision", "P_curve.png"),
-                                         ("r", "Recall", "R_curve.png")):
-                    plot_mc_curve(curves["px"], curves[key],
-                                  pdir / fname, cnames, ylabel=ylab)
+            ap_c = ap
+            if curves is None:
+                # zero detections (or an unlabeled split): still emit the
+                # artifact set — flat curves — so downstream tooling and the
+                # reference's per-run file contract (val.py:241-244) hold.
+                px = np.linspace(0, 1, 1000)
+                z = np.zeros((1, px.size))
+                curves = {"px": px, "pr_py": [z[0]], "f1": z, "p": z, "r": z}
+                ap_c = np.zeros((1, 10))
+            cnames = [names[int(c)] for c in cls_idx]
+            plot_pr_curve(curves["px"], list(curves["pr_py"]), ap_c,
+                          pdir / "PR_curve.png", cnames)
+            for key, ylab, fname in (("f1", "F1", "F1_curve.png"),
+                                     ("p", "Precision", "P_curve.png"),
+                                     ("r", "Recall", "R_curve.png")):
+                plot_mc_curve(curves["px"], curves[key],
+                              pdir / fname, cnames, ylabel=ylab)
         except Exception as e:  # plotting must never fail an eval run
             print(f"eval plots failed: {e}")
 
