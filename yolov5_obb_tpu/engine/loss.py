@@ -228,7 +228,15 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
             jnp.arange(na, dtype=jnp.int32)[None, None, :, None], mask.shape
         )
         flat_idx = (cell * na + a_idx).reshape(B, K)
-        ps = jnp.take_along_axis(pf, flat_idx[..., None], axis=1)  # (B, K, no)
+        # row-slice gather instead of take_along_axis: broadcasting the index
+        # over the channel dim asks for a per-element (B*K*no offsets) gather;
+        # the vmapped take keeps whole-(no,) row slices. Measured on v5e it is
+        # only a ~5% win on the loss fwd+bwd (0.94 vs 0.99 ms/img,
+        # tools/bench_train_decomp.py lossgrad) — the bwd scatter-add, not the
+        # fwd gather lowering, dominates the block either way.
+        ps = jax.vmap(lambda p_, i_: jnp.take(p_, i_, axis=0))(
+            pf, flat_idx
+        )  # (B, K, no)
 
         mflat = mask.reshape(B, K)
 
