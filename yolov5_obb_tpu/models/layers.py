@@ -230,11 +230,17 @@ class _BottleneckParams(nn.Module):
         return a, b
 
 
+# Minimum H*W for the fused-C3 Pallas path (the only hardware-measured
+# winning point is the layer-2 block at 256²; tests lower this to
+# exercise the kernel at small shapes).
+_FUSED_C3_MIN_SPATIAL = 256 * 256
+
+
 class C3(nn.Module):
     """CSP bottleneck with 3 convs (reference models/common.py:126-138).
 
     ``fused=True`` (inference only): when the block is eligible
-    (c1 == c2, n == 2, shortcut, g == 1, e == 0.5, H/W 8-aligned), the
+    (n <= 4, g == 1, e == 0.5, H/W 8-aligned, high-resolution), the
     whole block runs as one Pallas kernel (ops/pallas/c3_kernel.py) — one
     HBM read, one write, every BN folded.  The parameter tree is identical
     to the stock path, so checkpoints load into either."""
@@ -249,14 +255,25 @@ class C3(nn.Module):
     fused: bool = False
 
     def _eligible(self, x, train):
+        from ..ops.pallas.c3_kernel import _ROWS_OUT
+
+        initializing = self.scope is not None and self.is_initializing()
         return (
-            self.fused and not train and not self.is_initializing()
-            and self.c1 == self.c2 and self.n == 2 and self.shortcut
+            self.fused and not train and not initializing
+            # the kernel supports n <= 4, shortcut on/off and c1 != c2
+            # (tested), but only the n=2-shortcut family at >=256² beats
+            # stock XLA on hardware (tools/bench_c3_blocks.py: layer-2
+            # 1.30x; the 128² n=4 / no-shortcut head blocks measured
+            # ~0.6x — halo DMA amplification dominates at small spatial
+            # extents), so eligibility is gated to the winning family
+            and self.n == 2 and self.shortcut and self.c1 == self.c2
             and self.g == 1 and self.e == 0.5 and self.c1 % 16 == 0
-            and x.ndim == 4 and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
+            and self.c2 % 16 == 0
+            and x.ndim == 4 and x.shape[2] % 8 == 0
+            and x.shape[1] % _ROWS_OUT == 0
             # only high-resolution blocks benefit (small-C convs at large
             # spatial extents are where XLA layout churn dominates)
-            and x.shape[1] * x.shape[2] >= 128 * 128
+            and x.shape[1] * x.shape[2] >= _FUSED_C3_MIN_SPATIAL
         )
 
     @nn.compact
@@ -277,7 +294,7 @@ class C3(nn.Module):
     def _fused_call(self, x):
         from ..ops.pallas.c3_kernel import fused_c3
 
-        c_ = self.c1 // 2
+        c_ = int(self.c2 * self.e)
 
         def fold(kernel, bn, eps=1e-3):
             scale, bias, mean, var = bn
@@ -286,24 +303,21 @@ class C3(nn.Module):
             return kernel.astype(jnp.bfloat16), ss
 
         w1, s1 = fold(*_CBAParams(self.c1, c_, 1, name="ConvBnAct_0")())
-        b1 = _BottleneckParams(c_, name="Bottleneck_0")()
-        b2 = _BottleneckParams(c_, name="Bottleneck_1")()
+        bots = []
+        for bi in range(self.n):
+            ba, bt = _BottleneckParams(c_, name=f"Bottleneck_{bi}")()
+            wba, sba = fold(*ba)
+            wbt, sbt = fold(*bt)
+            bots += [wba[0, 0], sba, wbt.reshape(9 * c_, c_), sbt]
         w2, s2 = fold(*_CBAParams(self.c1, c_, 1, name="ConvBnAct_1")())
-        w3, s3 = fold(*_CBAParams(self.c1, self.c2, 1, name="ConvBnAct_2")())
+        w3, s3 = fold(*_CBAParams(2 * c_, self.c2, 1, name="ConvBnAct_2")())
 
-        def taps(kern_bf16):
-            return kern_bf16.reshape(9 * c_, c_)
-
-        wb1a, sb1a = fold(*b1[0])
-        wb1t, sb1t = fold(*b1[1])
-        wb2a, sb2a = fold(*b2[0])
-        wb2t, sb2t = fold(*b2[1])
         w3f = w3[0, 0]  # (2c_, c2)
         out = fused_c3(
             x.astype(jnp.bfloat16),
-            w1[0, 0], s1, wb1a[0, 0], sb1a, taps(wb1t), sb1t,
-            wb2a[0, 0], sb2a, taps(wb2t), sb2t,
+            w1[0, 0], s1, tuple(bots),
             w2[0, 0], s2, w3f[:c_], w3f[c_:], s3,
+            n=self.n, shortcut=bool(self.shortcut),
         )
         return out.astype(self.dtype)
 

@@ -1,21 +1,23 @@
-"""Fused C3 (CSP bottleneck, n=2) Pallas kernel — inference only.
+"""Fused C3 (CSP bottleneck) Pallas kernel — inference only.
 
-The layer-2 ``C3(96, 96, 2)`` at 256x256 costs ~1.1 ms/img in-context
-(tools/bench_layers.py), half the yolov5m forward: seven small-channel
-convs (48/96 lanes on a 128-lane MXU) each round-tripping activations
-through HBM, plus XLA layout copies at the block boundaries.  This kernel
-computes the whole block — cv1, two residual bottlenecks (1x1 + 3x3),
-cv2, cv3, every BN folded to a per-channel scale/shift, SiLU between —
-in VMEM with ONE HBM read of the input and ONE write of the output.
+The high-resolution C3 blocks (layer-2 ``C3(96, 96, 2)`` at 256x256,
+layer-4 ``C3(192, 192, 4)`` and the P3-head ``C3(384, 192, 2, False)`` at
+128x128 for a 1024px input) are small-channel conv stacks whose
+activations round-trip HBM between every conv, with XLA layout copies at
+the block boundaries.  This kernel computes a whole block — cv1, ``n``
+bottlenecks (1x1 + 3x3, optional residual), cv2, cv3, every BN folded to
+a per-channel scale/shift, SiLU between — in VMEM with ONE HBM read of
+the input and ONE write of the output.
 
 Reference semantics: models/common.py:94-138 (Bottleneck/C3) with SAME
-zero padding on the 3x3 convs.
+zero padding on the 3x3 convs.  Supports n <= 4, shortcut on/off, and
+c1 != c2 (e fixed at 0.5, g at 1 — the only configs the model zoo uses).
 
 Design notes (Mosaic constraints, see CLAUDE.md):
 - Input is zero-padded by the caller to ``(B, H+8, W+24, C)``
-  (2 halo rows/cols before, spare after so every block DMA and flatten
-  stays 8-aligned).  The kernel grid is ``(B, H//16)``; each program
-  DMAs a 24-row slab from HBM (overlapping halo — BlockSpec index maps
+  (n halo rows/cols before, spare after so every block DMA and flatten
+  stays 8-aligned).  The kernel grid is ``(B, H//8)``; each program
+  DMAs a 16-row slab from HBM (overlapping halo — BlockSpec index maps
   cannot express overlap, manual ``make_async_copy`` can).
 - All convs are expressed as 2-D matmuls on ``(rows*W_pad, C)`` flats;
   collapsing (rows, W_pad) into sublanes is legal because W_pad % 8 == 0.
@@ -25,7 +27,12 @@ Design notes (Mosaic constraints, see CLAUDE.md):
   lower to cheap vector shifts.
 - SAME-padding parity: the 3x3 inputs are masked to zero outside the
   real image (the padded halo would otherwise carry silu(shift) values
-  where the stock conv sees zeros).
+  where the stock conv sees zeros).  The HORIZONTAL halo needs no DMA
+  overlap — pad columns carry garbage that the mask zeroes before every
+  3x3 and the output crop discards; only rows need real neighbours.
+- Each bottleneck shrinks row validity by 1 per side, so bottleneck k
+  (1-based) emits ``ROWS_OUT + 2*(n-k)`` rows; with ROWS_IN = ROWS_OUT+8
+  the slab carries enough halo for n <= 4.
 """
 
 from __future__ import annotations
@@ -38,12 +45,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS_OUT = 8  # output rows per program (VMEM-bounded)
-_ROWS_IN = _ROWS_OUT + 8  # + 4 halo (2 levels of 3x3) + 4 alignment spare
-_PAD_TOP = 2
-_PAD_LEFT = 2
-_PAD_W_EXTRA = 24  # left 2 + right 22 (8-alignment spare)
-_PAD_H_EXTRA = 8   # top 2 + bottom 6
+import os
+
+# Output rows per program.  16 halves the DMA halo amplification vs 8
+# (ROWS_IN/ROWS_OUT 1.5x vs 2x) and measured 1.30x vs stock XLA on the
+# layer-2 block (tools/bench_c3_blocks.py: 8→0.99x, 16→1.30x, 32→~16).
+_ROWS_OUT = int(os.environ.get("C3_ROWS_OUT", 16))
+_ROWS_IN = _ROWS_OUT + 8  # + n halo rows per side (n<=4) + alignment spare
+_PAD_LEFT = 4   # >= max n; horizontal correctness comes from the mask
+_PAD_W_EXTRA = 24  # left 4 + right 20 (8-alignment spare)
+_PAD_H_EXTRA = 8   # top n + bottom (8 - n)
 
 
 def _silu(x):
@@ -84,9 +95,11 @@ def _conv3x3(h, w_taps, scale, shift, rows_out, wp, c):
     return _silu(acc * scale + shift).astype(jnp.bfloat16)
 
 
-def _kernel(h_img, w_img, wp, c1, c_, cp,
-            x_hbm, mask_ref, w1, s1, wb1a, sb1a, wb1t, sb1t, wb2a, sb2a,
-            wb2t, sb2t, w2, s2, w3a, w3b, s3, out_ref, xb, sem):
+def _kernel(n, shortcut, h_img, w_img, wp, c2, c_, cp, *refs):
+    (x_hbm, mask_ref, w1, s1), rest = refs[:4], refs[4:]
+    bots, rest = rest[:4 * n], rest[4 * n:]
+    w2, s2, w3a, w3b, s3, out_ref, xb, sem = rest
+
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -104,41 +117,37 @@ def _kernel(h_img, w_img, wp, c1, c_, cp,
     # not lower in Mosaic; an XLA-baked constant input does)
     mask = mask_ref[0]  # (ROWS_IN, wp, c_) bf16
 
-    # cv1 on all rows
-    a1 = _conv1x1(xf, w1[...], s1[0:1], s1[1:2]).reshape(_ROWS_IN, wp, c_)
-
     R = _ROWS_OUT
-    r1_rows = R + 2  # bottleneck-1 output rows (abs 1..R+2)
+    # cv1 on all rows; cur covers abs slab rows [0, ROWS_IN)
+    cur = _conv1x1(xf, w1[...], s1[0:1], s1[1:2]).reshape(_ROWS_IN, wp, c_)
+    off = 0
+    rows_cur = _ROWS_IN
+    for k in range(1, n + 1):
+        wba, sba, wbt, sbt = bots[4 * (k - 1):4 * k]
+        rows_out = R + 2 * (n - k)  # abs rows [k, k + rows_out)
+        h = _conv1x1(cur.reshape(rows_cur * wp, c_), wba[...],
+                     sba[0:1], sba[1:2]).reshape(rows_cur, wp, c_)
+        h = h * mask[off:off + rows_cur]
+        y3 = _conv3x3(h, wbt[...], sbt[0:1], sbt[1:2], rows_out, wp, c_)
+        if shortcut:
+            y3 = cur[1:1 + rows_out].reshape(rows_out * wp, c_) + y3
+        cur = y3.astype(jnp.bfloat16).reshape(rows_out, wp, c_)
+        off += 1
+        rows_cur = rows_out
+    # cur covers abs rows [n, n + R) == the output rows (pad_top = n)
 
-    # bottleneck 1: all ROWS_IN rows → out rows 1..R+2
-    h1 = _conv1x1(a1.reshape(_ROWS_IN * wp, c_), wb1a[...],
-                  sb1a[0:1], sb1a[1:2]).reshape(_ROWS_IN, wp, c_)
-    h1 = h1 * mask
-    r1 = (
-        a1[1:1 + r1_rows].reshape(r1_rows * wp, c_)
-        + _conv3x3(h1, wb1t[...], sb1t[0:1], sb1t[1:2], r1_rows, wp, c_)
-    ).astype(jnp.bfloat16).reshape(r1_rows, wp, c_)
+    # cv2 on abs rows n..n+R
+    c2c = _conv1x1(x[n:n + R].reshape(R * wp, cp), w2[...], s2[0:1], s2[1:2])
 
-    # bottleneck 2: r1 rows (abs 1..R+2) → out rows (abs 2..R+1)
-    h2 = _conv1x1(r1.reshape(r1_rows * wp, c_), wb2a[...],
-                  sb2a[0:1], sb2a[1:2]).reshape(r1_rows, wp, c_)
-    h2 = h2 * mask[1:1 + r1_rows]
-    r2 = (
-        r1[1:1 + R].reshape(R * wp, c_)
-        + _conv3x3(h2, wb2t[...], sb2t[0:1], sb2t[1:2], R, wp, c_)
-    ).astype(jnp.bfloat16)  # (R*wp, c_), abs rows 2..R+1
-
-    # cv2 on abs rows 2..R+1
-    c2c = _conv1x1(x[2:2 + R].reshape(R * wp, cp), w2[...], s2[0:1], s2[1:2])
-
-    # cv3 on concat(r2, c2) — expressed as two matmuls (lane concat at c_
+    # cv3 on concat(cur, c2c) — expressed as two matmuls (lane concat at c_
     # is not 128-aligned)
-    y = jax.lax.dot_general(r2, w3a[...], (((1,), (0,)), ((), ())),
+    y = jax.lax.dot_general(cur.reshape(R * wp, c_), w3a[...],
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + jax.lax.dot_general(c2c, w3b[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
     y = _silu(y * s3[0:1] + s3[1:2]).astype(jnp.bfloat16)
-    y = y.reshape(_ROWS_OUT, wp, c1)
+    y = y.reshape(_ROWS_OUT, wp, c2)
     out_ref[...] = y[:, _PAD_LEFT:_PAD_LEFT + w_img, :][None]
 
 
@@ -151,7 +160,7 @@ def fold_conv_bn(kernel, scale, bias, mean, var, eps: float = 1e-3):
             np.stack([sc, sh]).astype(np.float32))
 
 
-def fold_c3_params(params, stats, eps: float = 1e-3):
+def fold_c3_params(params, stats, n: int = 2, eps: float = 1e-3):
     """C3 module scope (params + batch_stats) → kernel operand dict."""
 
     def fold(scope_p, scope_s):
@@ -172,37 +181,50 @@ def fold_c3_params(params, stats, eps: float = 1e-3):
     out = {}
     w, ss = fold(params["ConvBnAct_0"], stats["ConvBnAct_0"])
     out["w1"], out["s1"] = np.asarray(w)[0, 0], ss
-    for bi in (0, 1):
+    bots = []
+    for bi in range(n):
         bp, bs = params[f"Bottleneck_{bi}"], stats[f"Bottleneck_{bi}"]
         wa, ssa = fold(bp["ConvBnAct_0"], bs["ConvBnAct_0"])
         wt_raw = bp["ConvBnAct_1"]["Conv_0"]["kernel"]
         _, sst = fold(bp["ConvBnAct_1"], bs["ConvBnAct_1"])
         out[f"wb{bi+1}a"], out[f"sb{bi+1}a"] = np.asarray(wa)[0, 0], ssa
         out[f"wb{bi+1}t"], out[f"sb{bi+1}t"] = taps(wt_raw), sst
+        bots += [out[f"wb{bi+1}a"], out[f"sb{bi+1}a"],
+                 out[f"wb{bi+1}t"], out[f"sb{bi+1}t"]]
+    out["bots"] = tuple(bots)
     w, ss = fold(params["ConvBnAct_1"], stats["ConvBnAct_1"])
     out["w2"], out["s2"] = np.asarray(w)[0, 0], ss
     w3, ss3 = fold(params["ConvBnAct_2"], stats["ConvBnAct_2"])
-    w3 = np.asarray(w3)[0, 0]  # (2*c_, c1)
+    w3 = np.asarray(w3)[0, 0]  # (2*c_, c2)
     c_ = w3.shape[0] // 2
     out["w3a"], out["w3b"], out["s3"] = w3[:c_], w3[c_:], ss3
     return out
 
 
-@functools.partial(jax.jit, static_argnames=())
-def fused_c3(x, w1, s1, wb1a, sb1a, wb1t, sb1t, wb2a, sb2a, wb2t, sb2t,
-             w2, s2, w3a, w3b, s3):
-    """Fused C3(c1, c1, n=2, shortcut=True, e=0.5) forward.
+@functools.partial(jax.jit, static_argnames=("n", "shortcut"))
+def fused_c3(x, w1, s1, bots, w2, s2, w3a, w3b, s3, *, n: int = 2,
+             shortcut: bool = True):
+    """Fused C3(c1, c2, n, shortcut, e=0.5, g=1) forward.
 
-    x: (B, H, W, c1) bf16, H % 16 == 0, W % 8 == 0.  Returns same shape.
+    x: (B, H, W, c1) bf16, H % 8 == 0, W % 8 == 0, 1 <= n <= 4.
+    ``bots`` is a flat tuple (wb_a, sb_a, wb_taps, sb_taps) per
+    bottleneck.  Returns (B, H, W, c2) where c2 = w3a.shape[1].
     """
+    if not 1 <= n <= 4:
+        raise ValueError(f"fused_c3 supports 1 <= n <= 4, got {n}")
     B, H, W, c1 = x.shape
-    c_ = c1 // 2
+    if H % _ROWS_OUT or W % 8:
+        raise ValueError(f"fused_c3 needs H % {_ROWS_OUT} == 0 and "
+                         f"W % 8 == 0, got {H}x{W}")
+    c_ = w3a.shape[0]
+    c2 = w3a.shape[1]
     wp = W + _PAD_W_EXTRA
     # channel-pad the input (and the two convs that read it) to a whole
     # number of 128-lane tiles: the manual HBM→VMEM DMA slices must be
     # tile-aligned in the minor dim; zero weight rows keep results exact
     cp = -(-c1 // 128) * 128
-    xp = jnp.pad(x, ((0, 0), (_PAD_TOP, _PAD_H_EXTRA - _PAD_TOP),
+    pad_top = n
+    xp = jnp.pad(x, ((0, 0), (pad_top, _PAD_H_EXTRA - pad_top),
                      (_PAD_LEFT, _PAD_W_EXTRA - _PAD_LEFT), (0, cp - c1)))
     w1 = jnp.pad(jnp.asarray(w1), ((0, cp - c1), (0, 0)))
     w2 = jnp.pad(jnp.asarray(w2), ((0, cp - c1), (0, 0)))
@@ -212,12 +234,12 @@ def fused_c3(x, w1, s1, wb1a, sb1a, wb1t, sb1t, wb2a, sb2a, wb2t, sb2t,
     ri = np.arange(n_i)[:, None, None, None] * _ROWS_OUT \
         + np.arange(_ROWS_IN)[None, :, None, None]
     wi = np.arange(wp)[None, None, :, None]
-    mask = ((ri >= _PAD_TOP) & (ri < _PAD_TOP + H)
+    mask = ((ri >= pad_top) & (ri < pad_top + H)
             & (wi >= _PAD_LEFT) & (wi < _PAD_LEFT + W))
     mask = jnp.asarray(
         np.broadcast_to(mask, (n_i, _ROWS_IN, wp, c_)), jnp.bfloat16)
 
-    kern = functools.partial(_kernel, H, W, wp, c1, c_, cp)
+    kern = functools.partial(_kernel, n, shortcut, H, W, wp, c2, c_, cp)
     interpret = jax.default_backend() != "tpu"
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -227,19 +249,18 @@ def fused_c3(x, w1, s1, wb1a, sb1a, wb1t, sb1t, wb2a, sb2a, wb2t, sb2t,
                   pl.BlockSpec((1, _ROWS_IN, wp, c_),
                                lambda b, i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)]
-        + [vspec() for _ in range(15)],
-        out_specs=pl.BlockSpec((1, _ROWS_OUT, W, c1),
+        + [vspec() for _ in range(7 + 4 * n)],
+        out_specs=pl.BlockSpec((1, _ROWS_OUT, W, c2),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, c1), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, c2), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((_ROWS_IN, wp, cp), jnp.bfloat16),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp.astype(jnp.bfloat16), mask,
-      jnp.asarray(w1), jnp.asarray(s1), jnp.asarray(wb1a), jnp.asarray(sb1a),
-      jnp.asarray(wb1t), jnp.asarray(sb1t), jnp.asarray(wb2a),
-      jnp.asarray(sb2a), jnp.asarray(wb2t), jnp.asarray(sb2t),
+      jnp.asarray(w1), jnp.asarray(s1),
+      *[jnp.asarray(a) for a in bots],
       jnp.asarray(w2), jnp.asarray(s2), jnp.asarray(w3a), jnp.asarray(w3b),
       jnp.asarray(s3))
