@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from pathlib import Path
 from typing import Any, Sequence
 
@@ -279,6 +280,7 @@ class YoloModel(nn.Module):
     na: int
     dtype: Any = jnp.float32
     packed_stem: bool = False
+    packed_l1: bool = False  # absorb layer-1 Conv(3,2) into the stem kernel
     fused_c3: bool = False  # eligible C3 blocks run as one Pallas kernel
 
     @nn.compact
@@ -289,6 +291,7 @@ class YoloModel(nn.Module):
         def fetch(j):
             return (y[-1] if y else x) if j == -1 else y[j]
 
+        skip = 0
         if self.packed_stem:
             s0 = self.specs[0]
             if not (s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]):
@@ -296,10 +299,36 @@ class YoloModel(nn.Module):
                     f"packed_stem needs a Conv(c2, 6, 2) first layer, got "
                     f"{s0.name}{tuple(s0.args)}"
                 )
-            x = L.PackedStem(s0.args[1], dtype=self.dtype, name="m0")(x, train)
-            y.append(x)
+            if self.packed_l1:
+                # stem + layer-1 in ONE kernel: the (H/2, W/2, 48) stem
+                # activation never touches HBM.  Param-twin scopes m0/m1
+                # keep the checkpoint tree identical to the stock graph;
+                # layer 0's slot in `y` stays None (validated unreferenced
+                # by build_model before setting packed_l1).
+                if train:
+                    raise ValueError("packed_stem is inference-only")
+                from ..ops.pallas.stem_kernel import (
+                    fold_stem_l1_params,
+                    fused_stem_l1,
+                )
 
-        for spec in self.specs[1 if self.packed_stem else 0:]:
+                s1 = self.specs[1]
+                k0, bn0 = L._CBAParams(3, s0.args[1], 6, name="m0")()
+                k1, bn1 = L._CBAParams(s0.args[1], s1.args[1], 3,
+                                       name="m1")()
+                ops = fold_stem_l1_params(k0, bn0, k1, bn1)
+                B, H, W3 = x.shape
+                x = fused_stem_l1(x, *ops, H, W3 // 3).astype(self.dtype)
+                y.append(None)
+                y.append(x)
+                skip = 2
+            else:
+                x = L.PackedStem(s0.args[1], dtype=self.dtype,
+                                 name="m0")(x, train)
+                y.append(x)
+                skip = 1
+
+        for spec in self.specs[skip:]:
             f = spec.frm
             if spec.name == "Detect":
                 out = Detect(self.nc, self.na, dtype=self.dtype, name=f"m{spec.index}")(
@@ -329,13 +358,30 @@ def build_model(cfg, nc: int | None = None, dtype=jnp.float32,
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
     specs, nc_, na, anchors_px, _ = parse_model_config(d)
+    packed_l1 = False
     if packed_stem:
         s0 = specs[0]
         # silently fall back for configs without the Conv(c2,6,2) stem
         # (Focus/yolov3 variants) — the packed path only accelerates that stem
         packed_stem = s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]
+        if packed_stem and len(specs) > 1:
+            # absorb layer 1 into the stem kernel when it is the standard
+            # Conv(c3, 3, 2) downsample consuming layer 0, and NO later
+            # layer references layer 0 (its activation is never written)
+            s1 = specs[1]
+            refs0 = any(
+                (spec.frm == 0 if isinstance(spec.frm, int)
+                 else 0 in tuple(spec.frm))
+                for spec in specs[2:]
+            )
+            packed_l1 = (
+                s1.name == "Conv" and list(s1.args[2:4]) == [3, 2]
+                and s1.frm == -1 and s1.repeats == 1 and not refs0
+                and int(os.environ.get("PACKED_L1", "1")) != 0
+            )
     model = YoloModel(specs=tuple(specs), nc=nc_, na=na, dtype=dtype,
-                      packed_stem=packed_stem, fused_c3=fused_c3)
+                      packed_stem=packed_stem, packed_l1=packed_l1,
+                      fused_c3=fused_c3)
     meta = ModelMeta(nc=nc_, nl=anchors_px.shape[0], na=na, strides=(), anchors_px=anchors_px)
     return model, meta, d
 

@@ -234,3 +234,194 @@ def fold_stem_params(kernel, bn_scale, bn_bias, bn_mean, bn_var,
     w6 = kernel * g[None, None, None, :] / 255.0
     b = bn_bias - bn_mean * g
     return remap_w6(w6), b
+
+
+# ---------------------------------------------------------------------------
+# fused stem + layer-1 (Conv c2→c3, 3x3/s2) — one kernel, no stem tensor
+# ---------------------------------------------------------------------------
+#
+# The stem output (B, H/2, W/2, 48) lane-pads 48→128 in HBM (2.7x), so the
+# stem→layer-1 boundary alone moves ~134 MB/img (write + read).  This
+# kernel keeps the stem rows in VMEM and emits only the layer-1 output
+# (B, H/4, W/4, c3).  Column stride-2: stem rows are staged in a VMEM
+# scratch and read back as strided loads (even cols / odd cols / odd
+# shifted down one pair) — Mosaic supports strided VMEM loads but NOT
+# sublane→lane shape casts or strided vector slices.  Exactly SAME-pad
+# parity with the stock ConvBnAct(c3, 3, 2) (pad (1,1), bottom/right pad
+# unused at even sizes).
+
+
+def fold_stem_l1_params(k0, bn0, k1, bn1, eps: float = 1e-3):
+    """Stem + layer-1 Conv+BN params → operands for :func:`fused_stem_l1`.
+
+    k0: (6,6,3,c2); bn0/bn1: (scale, bias, mean, var); k1: (3,3,c2,c3).
+    Returns (w108, b0, w1taps, b1) with w1taps (9*c2, c3): tap (ky, kx)
+    at rows [(3*ky + kx)*c2 : +c2] (BN scale folded).
+    """
+    w108, b0 = fold_stem_params(k0, *bn0, eps=eps)
+    s1, bb1, m1, v1 = bn1
+    g1 = s1 / jnp.sqrt(v1 + eps)
+    w1f = k1 * g1  # (3,3,c2,c3), BN scale folded
+    b1 = bb1 - m1 * g1
+    c3 = w1f.shape[3]
+    return (w108, b0, w1f.reshape(-1, c3), b1)
+
+
+def _stem_l1_xla(x_packed, w108, b0, w1taps, b1, h, w):
+    """Fallback: stem fallback + plain XLA 3x3/s2 conv (folded BN+SiLU)."""
+    s = _stem_xla(x_packed, w108, b0, h, w)  # (B, h/2, w/2, c2) bf16
+    c3 = w1taps.shape[1]
+    c2 = w1taps.shape[0] // 9
+    w1 = w1taps.reshape(3, 3, c2, c3)
+    y = jax.lax.conv_general_dilated(
+        s.astype(jnp.float32), w1.astype(jnp.float32), (2, 2),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + b1.reshape(1, 1, 1, c3)
+    return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
+
+
+def _kernel_l1(c2, c3, x6_prev, x6_cur, x6_next, w_ref, b_ref, w1_ref,
+               b1_ref, out_ref, scr):
+    """One program: _ROWS stem rows + _ROWS/2 layer-1 output rows.
+
+    x6 blocks as in :func:`_kernel` but with 32 halo rows each side (the
+    layer-1 taps need stem row -1 of the block).  w1_ref: (9*c2, c3), tap
+    (ky, kx) at rows [(3ky+kx)*c2 : +c2].  ``scr``: ((R+1)*W2, c2) VMEM —
+    stem rows staged so the column stride-2 reads lower as strided
+    VMEM loads (Mosaic cannot shape-cast sublanes into lanes).
+    """
+    R = _ROWS
+    p = pl.program_id(1)
+    W2 = x6_cur.shape[2]
+    W4 = W2 // 2
+    nprog = pl.num_programs(1)
+
+    xcat = jnp.concatenate(
+        [x6_prev[0, -32:, :], x6_cur[0], x6_next[0, :32, :]], axis=0
+    )
+    loc = jax.lax.broadcasted_iota(jnp.int32, (12 * R + 64, 1), 0)
+    g = 12 * R * p + loc - 32
+    total = 12 * R * nprog  # = 6*H
+    rowmask = jnp.where((g >= 0) & (g < total), 1.0, 0.0).astype(xcat.dtype)
+    xcat = xcat * rowmask
+
+    w = w_ref[...]
+    wq = [w[0:36], w[36:72], w[72:108]]
+    bias = b_ref[...]  # (1, c2)
+    zrow = jnp.zeros((1, c2), jnp.float32)
+
+    # stem row -1 of program 0 is the layer-1 top zero pad, not silu(bias)
+    top_ok = jnp.where(p > 0, 1.0, 0.0).astype(jnp.bfloat16)
+
+    # stem rows oy = -1 .. R-1, staged in scratch at slot oy+1
+    for oy in range(-1, R):
+        pb = xcat[12 * oy + 20: 12 * oy + 56, :]  # (36, W2)
+        ys = []
+        for qi in range(3):
+            ys.append(
+                jax.lax.dot_general(
+                    pb, wq[qi], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        yrow = (
+            jnp.concatenate([zrow, ys[0][:-1]], axis=0)
+            + ys[1]
+            + jnp.concatenate([ys[2][1:], zrow], axis=0)
+        ) + bias
+        yrow = yrow * jax.nn.sigmoid(yrow)
+        if oy == -1:
+            yrow = yrow * top_ok
+        # f32 staging: Mosaic strided loads only support 32-bit data
+        scr[(oy + 1) * W2:(oy + 2) * W2, :] = yrow
+
+    w1 = w1_ref[...]
+    b1 = b1_ref[...]  # (1, c3)
+    zodd = jnp.zeros((1, c2), jnp.bfloat16)
+    for oy2 in range(R // 2):
+        acc = jnp.zeros((W4, c3), jnp.float32)
+        for d in range(3):
+            base = (2 * oy2 + d) * W2  # stem row 2*oy2 + d - 1
+            even = scr[base: base + W2: 2, :].astype(jnp.bfloat16)
+            odd = scr[base + 1: base + W2: 2, :].astype(jnp.bfloat16)
+            sh = jnp.concatenate([zodd, odd[:-1]], axis=0)  # cols 2*ox2-1
+            for dx, t in ((0, sh), (1, even), (2, odd)):
+                acc = acc + jax.lax.dot_general(
+                    t, w1[(3 * d + dx) * c2: (3 * d + dx + 1) * c2],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc = acc + b1
+        acc = acc * jax.nn.sigmoid(acc)
+        out_ref[0, oy2] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "use_pallas"))
+def fused_stem_l1(x_packed, w108, b0, w1taps, b1, h: int, w: int,
+                  use_pallas: bool | None = None):
+    """Fused ingest + stem Conv(6,2,2) + layer-1 Conv(c3, 3, 2), BN+SiLU
+    folded into both — the stem activation never touches HBM.
+
+    Args are :func:`fold_stem_l1_params` outputs plus the image size.
+    Returns ``(B, H/4, W/4, c3)`` bf16.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas or (h // 2) % _ROWS or w % 4:
+        return _stem_l1_xla(x_packed, w108, b0, w1taps, b1, h, w)
+    B = x_packed.shape[0]
+    c2 = b0.shape[0]
+    c3 = w1taps.shape[1]
+    W2 = w // 2
+    R = _ROWS
+    nprog = (h // 2) // R
+
+    x6 = (
+        x_packed.astype(jnp.bfloat16)
+        .reshape(B, h, W2, 6)
+        .transpose(0, 1, 3, 2)
+        .reshape(B, 6 * h, W2)
+    )
+
+    wpad = jnp.zeros((128, c2), jnp.float32).at[:108].set(w108)
+    b2 = b0.reshape(1, c2).astype(jnp.float32)
+    b1r = b1.reshape(1, c3).astype(jnp.float32)
+
+    blk = 12 * R
+
+    def idx_prev(b, p):
+        return (b, jnp.maximum(p - 1, 0), 0)
+
+    def idx_cur(b, p):
+        return (b, p, 0)
+
+    def idx_next(b, p):
+        return (b, jnp.minimum(p + 1, nprog - 1), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_l1, c2, c3),
+        grid=(B, nprog),
+        in_specs=[
+            pl.BlockSpec((1, blk, W2), idx_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, W2), idx_cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, W2), idx_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, c2), lambda b, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c2), lambda b, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c2, c3), lambda b, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda b, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R // 2, W2 // 2, c3), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, h // 4, W2 // 2, c3),
+                                       jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM(((R + 1) * W2, c2), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(x6, x6, x6, wpad, b2, jnp.asarray(w1taps, jnp.bfloat16), b1r)
+    return out
