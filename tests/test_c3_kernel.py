@@ -99,20 +99,28 @@ def test_fused_c3_ineligible_falls_back():
 
 def test_fused_c3_gate_excludes_slow_families():
     """The kernel supports n<=4 / no-shortcut / c1!=c2 (parity-tested
-    above), but hardware A/B (tools/bench_c3_blocks.py) showed only the
-    n=2-shortcut family at >=256² beats stock XLA — the eligibility gate
-    must keep the slower families on the stock path."""
+    above); the eligibility gate must follow the hardware A/B
+    (tools/bench_c3_blocks.py, dx-packed taps): shortcut c1==c2 families
+    win at >=256² (1.46x) and at 128² when n>=4 (1.10x); the no-shortcut
+    head (1.00x) and shallow 128² blocks stay on the stock path."""
     import jax.numpy as jnp
 
     from yolov5_obb_tpu.models.layers import C3
 
     x256 = jnp.zeros((1, 256, 256, 96), jnp.bfloat16)
+    x128 = jnp.zeros((1, 128, 128, 192), jnp.bfloat16)
     assert C3(96, 96, 2, dtype=jnp.bfloat16, fused=True)._eligible(
         x256, False)
-    # n=4 family: kernel-capable but perf-gated out
-    assert not C3(96, 96, 4, dtype=jnp.bfloat16, fused=True)._eligible(
+    # deeper shortcut blocks at 256² ride the same winning regime
+    assert C3(96, 96, 4, dtype=jnp.bfloat16, fused=True)._eligible(
         x256, False)
-    # no-shortcut head family: perf-gated out
+    # 128² blocks: 1.10x isolated but e2e-negative (boundary layout
+    # copies), perf-gated out
+    assert not C3(192, 192, 4, dtype=jnp.bfloat16, fused=True)._eligible(
+        x128, False)
+    assert not C3(192, 192, 2, dtype=jnp.bfloat16, fused=True)._eligible(
+        x128, False)
+    # no-shortcut head family: no measured win, perf-gated out
     assert not C3(192, 96, 2, False, dtype=jnp.bfloat16,
                   fused=True)._eligible(x256, False)
     # train mode never fuses

@@ -261,18 +261,21 @@ class C3(nn.Module):
         return (
             self.fused and not train and not initializing
             # the kernel supports n <= 4, shortcut on/off and c1 != c2
-            # (tested), but only the n=2-shortcut family at >=256² beats
-            # stock XLA on hardware (tools/bench_c3_blocks.py: layer-2
-            # 1.30x; the 128² n=4 / no-shortcut head blocks measured
-            # ~0.6x — halo DMA amplification dominates at small spatial
-            # extents), so eligibility is gated to the winning family
-            and self.n == 2 and self.shortcut and self.c1 == self.c2
+            # (tested); eligibility follows the hardware A/B
+            # (tools/bench_c3_blocks.py, dx-packed taps): the shortcut
+            # c1==c2 families win — layer-2 @256² 1.46x, layer-4 n=4
+            # @128² 1.10x — while the no-shortcut P3 head measured 1.00x
+            # (no win, so gated to stock XLA)
+            and self.n <= 4 and self.shortcut and self.c1 == self.c2
             and self.g == 1 and self.e == 0.5 and self.c1 % 16 == 0
             and self.c2 % 16 == 0
             and x.ndim == 4 and x.shape[2] % 8 == 0
             and x.shape[1] % _ROWS_OUT == 0
-            # only high-resolution blocks benefit (small-C convs at large
-            # spatial extents are where XLA layout churn dominates)
+            # halo DMA amplification shrinks the win as spatial extent
+            # drops: >=256² wins outright (1.46x isolated AND e2e); the
+            # 128² n=4 block measured 1.10x isolated but regressed the
+            # e2e bench (3.02→3.31 ms/img — boundary layout copies eat
+            # the win), so it stays perf-gated to stock XLA
             and x.shape[1] * x.shape[2] >= _FUSED_C3_MIN_SPATIAL
         )
 

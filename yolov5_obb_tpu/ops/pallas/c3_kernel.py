@@ -72,7 +72,15 @@ def _conv1x1(flat_bf16, w, scale, shift):
 
 def _conv3x3(h, w_taps, scale, shift, rows_out, wp, c):
     """SAME 3x3 over ``h`` (rows, wp, c) → (rows_out*wp, c) starting at
-    row 1.  ``w_taps`` is (9*c, c), tap (dy,dx) at rows [(3dy+dx)*c:+c]."""
+    row 1.  ``w_taps`` is (9*c, c), tap (dy,dx) at rows [(3dy+dx)*c:+c].
+
+    The 9 tap matmuls are packed 3-at-a-time along K: taps sharing a dx
+    have equal sublane offsets (Mosaic refuses lane-concat across
+    mismatched offsets), so each dx group concatenates to one (L, 3c)
+    operand.  Small c pads every dot's K to the 128-lane MXU tile — 3
+    dots at K=3c waste far fewer MXU passes than 9 at K=c (measured
+    1.30x→1.46x on the layer-2 block, 0.6x→1.10x on layer-4;
+    tools/bench_c3_blocks.py)."""
     rows = h.shape[0]
     # zero row before (keeps every tap start >= 0) and after (the (dy=2,
     # dx=+1) tap of the last row reads one element past rows*wp — a
@@ -81,17 +89,23 @@ def _conv3x3(h, w_taps, scale, shift, rows_out, wp, c):
     h25 = jnp.concatenate([zrow, h, zrow], axis=0).reshape(
         (rows + 2) * wp, c)
     L = rows_out * wp
-    acc = jnp.zeros((L, c), jnp.float32)
+    taps = []
     for dy in range(3):
         for dx in range(3):
             s = (dy + 1) * wp + dx - 1
-            tap = jax.lax.slice(h25, (s, 0), (s + L, c))
-            wt = jax.lax.slice(w_taps, ((dy * 3 + dx) * c, 0),
-                               ((dy * 3 + dx + 1) * c, c))
-            acc = acc + jax.lax.dot_general(
-                tap, wt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            taps.append(jax.lax.slice(h25, (s, 0), (s + L, c)))
+    acc = jnp.zeros((L, c), jnp.float32)
+    for dx in range(3):
+        hp = jnp.concatenate([taps[3 * dy + dx] for dy in range(3)],
+                             axis=1)  # (L, 3c), offsets match
+        wt = jnp.concatenate(
+            [jax.lax.slice(w_taps, ((dy * 3 + dx) * c, 0),
+                           ((dy * 3 + dx + 1) * c, c))
+             for dy in range(3)], axis=0)  # (3c, c)
+        acc = acc + jax.lax.dot_general(
+            hp, wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return _silu(acc * scale + shift).astype(jnp.bfloat16)
 
 
