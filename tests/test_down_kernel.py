@@ -1,0 +1,61 @@
+"""Fused downsample Conv(3,2)+BN+SiLU Pallas kernel vs stock XLA conv
+(interpret mode)."""
+
+import numpy as np
+
+
+def _parity(H, W, ci, co, seed=0):
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.pallas.down_kernel import _down_xla, fused_down
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2, H, W, ci)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((9 * ci, co)) * 0.1, jnp.bfloat16)
+    ss = jnp.asarray(
+        np.stack([rng.uniform(0.5, 1.5, co), rng.standard_normal(co) * 0.2]),
+        jnp.float32)
+    want = np.asarray(_down_xla(x, w, ss), np.float32)
+    got = np.asarray(fused_down(x, w, ss, use_pallas=True), np.float32)
+    assert got.shape == want.shape == (2, H // 2, W // 2, co)
+    err = np.abs(got - want)
+    assert err.max() <= 0.05, err.max()  # bf16 rounding only
+    # boundaries specifically (SAME zero-pad parity top/bottom/left)
+    assert err[:, :1].max() <= 0.05 and err[:, -1:].max() <= 0.05
+    assert err[:, :, :1].max() <= 0.05 and err[:, :, -1:].max() <= 0.05
+
+
+def test_fused_down_matches_stock():
+    """Layer-3 shape family: Conv(192, 3, 2) on a 96-ch input."""
+    _parity(64, 48, 32, 48)
+
+
+def test_fused_down_multiblock():
+    """Several grid programs tall — block-boundary halo rows correct."""
+    _parity(96, 32, 16, 24, seed=3)
+
+
+def test_fused_down_module_path_equivalence(monkeypatch):
+    """ConvBnAct(fused=True) == stock ConvBnAct with the SAME variables —
+    the param-twin tree is identical so checkpoints load into either."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from yolov5_obb_tpu.models import layers
+    from yolov5_obb_tpu.models.layers import ConvBnAct
+
+    monkeypatch.setattr(layers, "_FUSED_DOWN_MIN_SPATIAL", 0)
+    stock = ConvBnAct(48, 3, 2, dtype=jnp.bfloat16)
+    fused = ConvBnAct(48, 3, 2, dtype=jnp.bfloat16, fused=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 64, 32, 32)), jnp.bfloat16)
+    v = stock.init(jax.random.PRNGKey(1), x, False)
+    vf = fused.init(jax.random.PRNGKey(1), x, False)
+    paths = lambda t: [jtu.keystr(k) for k, _ in
+                      jtu.tree_flatten_with_path(t)[0]]
+    assert paths(v) == paths(vf)
+    assert fused._down_eligible(x, False)
+    a = np.asarray(stock.apply(v, x, False), np.float32)
+    b = np.asarray(fused.apply(v, x, False), np.float32)
+    assert np.abs(a - b).max() <= 0.05

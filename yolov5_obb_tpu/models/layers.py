@@ -12,6 +12,7 @@ initialisation (utils/torch_utils.py:176-190: torch momentum 0.03).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -33,8 +34,20 @@ def make_divisible(x, divisor=8):
     return math.ceil(x / divisor) * divisor
 
 
+# Minimum input H*W for the fused downsample-conv Pallas path (layer 3 at
+# 256² for a 1024px input; env override for hardware A/Bs).
+_FUSED_DOWN_MIN_SPATIAL = int(
+    os.environ.get("FUSED_DOWN_MIN_SPATIAL", 256 * 256))
+
+
 class ConvBnAct(nn.Module):
-    """Conv2D + BatchNorm + SiLU (reference `Conv`, models/common.py:37-49)."""
+    """Conv2D + BatchNorm + SiLU (reference `Conv`, models/common.py:37-49).
+
+    ``fused=True`` (inference only): an eligible stride-2 3x3 downsample
+    (the backbone rows between C3 blocks) runs as one Pallas kernel
+    (ops/pallas/down_kernel.py) so the fused stem→C3→down→C3 region stays
+    contiguous — no XLA layout copy materialises at the custom-call
+    boundaries.  The parameter tree is identical to the stock path."""
 
     c2: int
     k: int = 1
@@ -43,9 +56,40 @@ class ConvBnAct(nn.Module):
     g: int = 1
     act: bool = True
     dtype: DType = jnp.float32
+    fused: bool = False
+
+    def _down_eligible(self, x, train):
+        initializing = self.scope is not None and self.is_initializing()
+        return (
+            self.fused and not train and not initializing
+            and self.k == 3 and self.s == 2 and self.g == 1 and self.act
+            and self.p in (None, 1)
+            and x.ndim == 4 and x.shape[-1] % 16 == 0 and self.c2 % 16 == 0
+            # ci <= 128: Mosaic strided scratch loads need a one-lane-tile
+            # minor dim (layer-5's ci=192 fails to compile on v5e)
+            and x.shape[-1] <= 128
+            and x.shape[1] % 32 == 0 and x.shape[2] % 16 == 0
+            # perf gate: only the high-resolution downsamples adjacent to
+            # fused C3 blocks win (halo + boundary economics as in C3)
+            and x.shape[1] * x.shape[2] >= _FUSED_DOWN_MIN_SPATIAL
+        )
+
+    def _fused_down(self, x):
+        from ..ops.pallas.down_kernel import fused_down
+
+        ci = x.shape[-1]
+        kernel = _AnyConvParams((3, 3, ci, self.c2), name="Conv_0")()
+        scale, bias, mean, var = _StemBnParams(self.c2, name="BatchNorm_0")()
+        g = scale * jax.lax.rsqrt(var + 1e-3)
+        ss = jnp.stack([g, bias - mean * g]).astype(jnp.float32)
+        w_taps = kernel.reshape(9 * ci, self.c2).astype(jnp.bfloat16)
+        return fused_down(x.astype(jnp.bfloat16), w_taps, ss).astype(
+            self.dtype)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self._down_eligible(x, train):
+            return self._fused_down(x)
         p = autopad(self.k, self.p)
         x = nn.Conv(
             self.c2,
@@ -233,7 +277,8 @@ class _BottleneckParams(nn.Module):
 # Minimum H*W for the fused-C3 Pallas path (the only hardware-measured
 # winning point is the layer-2 block at 256²; tests lower this to
 # exercise the kernel at small shapes).
-_FUSED_C3_MIN_SPATIAL = 256 * 256
+_FUSED_C3_MIN_SPATIAL = int(
+    os.environ.get("FUSED_C3_MIN_SPATIAL", 256 * 256))
 
 
 class C3(nn.Module):

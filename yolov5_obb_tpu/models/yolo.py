@@ -235,7 +235,8 @@ def _build_module(spec: LayerSpec, dtype, name: str, fused_c3: bool = False):
     kind, a = spec.name, spec.args
     mk = {
         # Conv args are [c1, c2, k, s, ...]; ConvBnAct takes c2 onwards
-        "Conv": lambda: L.ConvBnAct(*a[1:], dtype=dtype, name=name),
+        "Conv": lambda: L.ConvBnAct(*a[1:], dtype=dtype, fused=fused_c3,
+                                    name=name),
         "DWConv": lambda: L.DWConv(*a, dtype=dtype, name=name),
         "Bottleneck": lambda: L.Bottleneck(*a, dtype=dtype, name=name),
         "BottleneckCSP": lambda: L.BottleneckCSP(*a, dtype=dtype, name=name),
