@@ -37,15 +37,23 @@ def test_fused_down_multiblock():
 
 def test_fused_down_module_path_equivalence(monkeypatch):
     """ConvBnAct(fused=True) == stock ConvBnAct with the SAME variables —
-    the param-twin tree is identical so checkpoints load into either."""
+    the param-twin tree is identical so checkpoints load into either.
+    fused_down is forced onto the (interpret-mode) Pallas kernel so the
+    module wiring AND the kernel are exercised together off-TPU."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     import jax.tree_util as jtu
 
     from yolov5_obb_tpu.models import layers
+    from yolov5_obb_tpu.ops.pallas import down_kernel
     from yolov5_obb_tpu.models.layers import ConvBnAct
 
     monkeypatch.setattr(layers, "_FUSED_DOWN_MIN_SPATIAL", 0)
+    monkeypatch.setattr(
+        down_kernel, "fused_down",
+        functools.partial(down_kernel.fused_down, use_pallas=True))
     stock = ConvBnAct(48, 3, 2, dtype=jnp.bfloat16)
     fused = ConvBnAct(48, 3, 2, dtype=jnp.bfloat16, fused=True)
     rng = np.random.default_rng(5)

@@ -59,16 +59,16 @@ class ConvBnAct(nn.Module):
     fused: bool = False
 
     def _down_eligible(self, x, train):
+        from ..ops.pallas.down_kernel import shape_eligible
+
         initializing = self.scope is not None and self.is_initializing()
         return (
             self.fused and not train and not initializing
             and self.k == 3 and self.s == 2 and self.g == 1 and self.act
             and self.p in (None, 1)
             and x.ndim == 4 and x.shape[-1] % 16 == 0 and self.c2 % 16 == 0
-            # ci <= 128: Mosaic strided scratch loads need a one-lane-tile
-            # minor dim (layer-5's ci=192 fails to compile on v5e)
-            and x.shape[-1] <= 128
-            and x.shape[1] % 32 == 0 and x.shape[2] % 16 == 0
+            # kernel shape constraints (single source: down_kernel)
+            and shape_eligible(x.shape[1], x.shape[2], x.shape[-1])
             # perf gate: only the high-resolution downsamples adjacent to
             # fused C3 blocks win (halo + boundary economics as in C3)
             and x.shape[1] * x.shape[2] >= _FUSED_DOWN_MIN_SPATIAL

@@ -282,7 +282,10 @@ class YoloModel(nn.Module):
     dtype: Any = jnp.float32
     packed_stem: bool = False
     packed_l1: bool = False  # absorb layer-1 Conv(3,2) into the stem kernel
-    fused_c3: bool = False  # eligible C3 blocks run as one Pallas kernel
+    # eligible C3 blocks AND the eligible stride-2 downsample Convs between
+    # them run as fused Pallas kernels (ops/pallas/{c3,down}_kernel.py) —
+    # one flag for the whole fused-region family
+    fused_c3: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, flat: bool = False):
@@ -439,7 +442,9 @@ def create_model(cfg, nc: int | None = None, dtype=jnp.float32, rng=None, imgsz:
                  packed_stem: bool = False, fused_c3: bool | None = None):
     """One-call constructor: (model, variables, meta).
 
-    ``fused_c3`` defaults to ``packed_stem`` (both are the TPU inference
+    ``fused_c3`` enables the fused-region Pallas family: eligible C3
+    blocks AND the eligible stride-2 downsample Convs between them run as
+    fused kernels.  Defaults to ``packed_stem`` (all are the TPU inference
     fast path; training/export builds leave them off)."""
     if fused_c3 is None:
         fused_c3 = packed_stem

@@ -38,6 +38,19 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 16  # output rows per program (input block = 32 rows)
 
 
+def shape_eligible(H: int, W: int, ci: int) -> bool:
+    """True iff ``fused_down`` takes the Pallas path for an (H, W, ci)
+    input — the single source of the kernel's shape constraints (the
+    module-level gate in models/layers.py derives from this so the two
+    cannot desync if ``_ROWS`` changes).
+
+    ci > 128 spans multiple lane tiles in the scratch memref — Mosaic's
+    strided loads require a single-tile minor dim ("last dim size is not
+    128 in original base memref", measured on v5e).
+    """
+    return H % (2 * _ROWS) == 0 and W % 16 == 0 and ci <= 128
+
+
 def _kernel(ci, co, x_halo, x_cur, w_ref, s_ref, out_ref, scr):
     """One program: _ROWS output rows of one image.
 
@@ -57,15 +70,19 @@ def _kernel(ci, co, x_halo, x_cur, w_ref, s_ref, out_ref, scr):
 
     # (2R+8, W, ci): slab row l is input row g = 2*R*p + l - 8
     xcat = jnp.concatenate([x_halo[0], x_cur[0]], axis=0)
-    # zero out-of-image rows (SAME zero padding + p=0 clamp garbage)
-    loc = jax.lax.broadcasted_iota(jnp.int32, (2 * R + 8, 1, 1), 0)
-    g = 2 * R * p + loc - 8
-    total = 2 * R * nprog
-    rowmask = jnp.where((g >= 0) & (g < total), 1.0, 0.0).astype(xcat.dtype)
-    xcat = xcat * rowmask
 
-    # stage in f32: strided VMEM loads are 32-bit only
-    scr[...] = xcat.reshape((2 * R + 8) * W, ci).astype(jnp.float32)
+    # stage in f32 (strided VMEM loads are 32-bit only), zeroing
+    # out-of-image rows in the same pass: slab row l holds input row
+    # g = 2*R*p + l - 8, invalid iff g < 0 (the p=0 halo clamp garbage;
+    # g >= H never happens: max g = 2*R*(p+1) - 1 <= H - 1).  Mask at the
+    # flattened 2-D scratch shape — a bf16 3-D minor-dim broadcast fails
+    # Mosaic ("insertion of minor dim only supported for 32-bit types",
+    # measured on v5e), and Mosaic only lowers 2-D iota anyway.
+    del nprog
+    scr_rows = (2 * R + 8) * W
+    loc = jax.lax.broadcasted_iota(jnp.int32, (scr_rows, 1), 0)
+    mask = jnp.where(loc >= (8 - 2 * R * p) * W, 1.0, 0.0)
+    scr[...] = xcat.reshape(scr_rows, ci).astype(jnp.float32) * mask
 
     w = w_ref[...]
     ss = s_ref[...]
@@ -132,10 +149,7 @@ def fused_down(x, w_taps, ss, use_pallas: bool | None = None):
         use_pallas = jax.default_backend() == "tpu"
     B, H, W, ci = x.shape
     co = w_taps.shape[1]
-    # ci > 128 spans multiple lane tiles in the scratch memref — Mosaic's
-    # strided loads require a single-tile minor dim ("last dim size is not
-    # 128 in original base memref", measured on v5e)
-    if not use_pallas or H % (2 * _ROWS) or W % 16 or ci > 128:
+    if not use_pallas or not shape_eligible(H, W, ci):
         return _down_xla(x, w_taps, ss)
     nprog = H // (2 * _ROWS)
 
