@@ -12,7 +12,9 @@ from yolov5_obb_tpu.utils.torch_import import import_state_dict, layer_entries  
 def _torch_conv_bn_silu(c1, c2, k, s, p):
     """Reference-style Conv block built from raw torch prims (test-local)."""
     conv = torch.nn.Conv2d(c1, c2, k, s, p, bias=False)
-    bn = torch.nn.BatchNorm2d(c2)
+    # the reference sets eps=1e-3 on every BN via initialize_weights
+    # (reference utils/torch_utils.py:161) — match it, as our layers do
+    bn = torch.nn.BatchNorm2d(c2, eps=1e-3)
     bn.weight.data.uniform_(0.5, 1.5)
     bn.bias.data.uniform_(-0.5, 0.5)
     bn.running_mean.uniform_(-0.2, 0.2)
@@ -51,9 +53,7 @@ def test_conv_block_numerical_parity():
          "batch_stats": variables["batch_stats"]["m0"]},
         xj, train=False,
     )
-    # torch BN eps default 1e-5 vs ours 1e-3 — mapped stats are exact, the
-    # eps mismatch bounds the error
-    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
 
 
 def test_full_model_import_covers_tree():
