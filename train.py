@@ -82,8 +82,11 @@ def parse_opt():
     p.add_argument("--adam", action="store_true")
     p.add_argument("--freeze", type=int, default=0,
                    help="freeze the first N graph layers")
-    p.add_argument("--remat", action="store_true",
-                   help="activation rematerialisation (larger batches, ~30% slower)")
+    p.add_argument("--remat", nargs="?", const="full", default="",
+                   choices=["", "full", "selective"],
+                   help="activation rematerialisation: 'full' (larger "
+                        "batches, ~30%% slower) or 'selective' (save only "
+                        "bf16 conv outputs — faster AND smaller on TPU)")
     p.add_argument("--resume", type=str, default="", help="checkpoint dir to resume from")
     p.add_argument("--wandb", action="store_true",
                    help="enable W&B logging (also auto-enabled by WANDB_API_KEY)")
@@ -97,6 +100,17 @@ def parse_opt():
 
 def run(opt, hyp_override: dict | None = None, callbacks=None):
     import jax.numpy as jnp
+
+    from yolov5_obb_tpu.engine.distributed import (
+        broadcast_scalar,
+        is_main,
+        maybe_initialize,
+    )
+
+    # multi-host: join the process group BEFORE any device use (the
+    # reference's dist.init_process_group, train.py:519-526)
+    maybe_initialize()
+    main = is_main()
 
     if callbacks is None:
         from yolov5_obb_tpu.utils.callbacks import Callbacks
@@ -134,12 +148,12 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     steps_per_epoch = max(len(train_ds) // opt.batch_size, 1)
 
     # label-distribution snapshot at train start (reference train.py:222-241
-    # plot_labels → labels.jpg)
+    # plot_labels → labels.jpg); host-0 only, like all filesystem artifacts
     try:
         from yolov5_obb_tpu.ops.geometry import poly2rbox
         from yolov5_obb_tpu.utils.plots import plot_labels
 
-        all_polys = [p for p in train_ds.polys if len(p)]
+        all_polys = [p for p in train_ds.polys if len(p)] if main else []
         if all_polys:
             rb = poly2rbox(np.concatenate(all_polys).astype(np.float64))
             plot_labels(rb, np.concatenate([c for c in train_ds.cls if len(c)]),
@@ -199,12 +213,22 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
     import math
 
-    n_dev = math.gcd(opt.batch_size, len(jax.devices()))
-    if n_dev < len(jax.devices()):
-        print(
-            f"note: using {n_dev}/{len(jax.devices())} devices "
-            f"(batch {opt.batch_size} must divide across the data mesh)"
-        )
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # multi-host: every process's devices must participate (the global
+        # batch assembles from per-process slices in put_batch)
+        if opt.batch_size % len(jax.devices()):
+            raise SystemExit(
+                f"multi-host run: batch {opt.batch_size} must be divisible "
+                f"by the {len(jax.devices())} global devices")
+        n_dev = len(jax.devices())
+    else:
+        n_dev = math.gcd(opt.batch_size, len(jax.devices()))
+        if n_dev < len(jax.devices()):
+            print(
+                f"note: using {n_dev}/{len(jax.devices())} devices "
+                f"(batch {opt.batch_size} must divide across the data mesh)"
+            )
     mesh = make_mesh(n_dev)
     state = create_train_state(variables, tx)
     start_epoch = 0
@@ -232,7 +256,8 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
     use_wandb = getattr(opt, "wandb", False) or bool(os.environ.get("WANDB_API_KEY"))
     include = ("csv", "tb", "wandb") if use_wandb else ("csv", "tb")
-    loggers = Loggers(save_dir, include=include, hyp=hyp, opt=opt)
+    # host-0 only (the reference's rank-gated Loggers, train.py:86-95)
+    loggers = Loggers(save_dir, include=include if main else (), hyp=hyp, opt=opt)
     loggers.log_dataset_artifact(opt.data)
     class_weights = (
         labels_to_class_weights(train_ds.cls, meta.nc) if opt.image_weights else None
@@ -250,10 +275,13 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         if opt.image_weights:
             iw = labels_to_image_weights(train_ds.cls, meta.nc, class_weights)
             indices = iw_rng.choice(len(train_ds), size=len(train_ds), p=iw)
+        # multi-host: each process loads its strided slice of the epoch at
+        # batch_size/n_proc; put_batch assembles the global batch on the mesh
         loader = create_dataloader(
-            train_ds, opt.batch_size, shuffle=True, augment=True,
+            train_ds, opt.batch_size // n_proc, shuffle=True, augment=True,
             seed=opt.seed + epoch, num_workers=opt.workers, num_epochs=1,
             indices=indices,
+            shard_index=jax.process_index(), shard_count=n_proc,
         )
         # loss items accumulate ON DEVICE — pulling them to host every step
         # would sync the dispatch pipeline (one tunnel RTT per step here;
@@ -261,7 +289,7 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         mloss_dev = None
         nb = 0
         for batch in loader:
-            if epoch == start_epoch and nb == 0:
+            if main and epoch == start_epoch and nb == 0:
                 try:  # reference train_batch0.jpg mosaic (plots.py:221)
                     from yolov5_obb_tpu.utils.plots import plot_images
 
@@ -288,9 +316,11 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
         callbacks.run("on_train_epoch_end", epoch=epoch)
 
-        # validation with EMA weights
+        # validation with EMA weights — host 0 only (local, unsharded jit);
+        # the fitness scalar is broadcast so every process takes the same
+        # early-stop/best-checkpoint branches (replicated control flow)
         metrics = {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0}
-        if val_ds is not None:
+        if val_ds is not None and main:
             callbacks.run("on_val_start")
             ema_vars = {"params": state.ema_params, "batch_stats": state.batch_stats}
             metrics = evaluate(
@@ -300,6 +330,8 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
             )
             callbacks.run("on_val_end", metrics=metrics)
         fit = fitness(metrics["mp"], metrics["mr"], metrics["map50"], metrics["map"])
+        if n_proc > 1:
+            fit = broadcast_scalar(fit)
         callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fit, metrics=metrics)
         if fit >= best_fit or final_metrics is None:
             final_metrics = dict(metrics)
@@ -330,25 +362,29 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
                 # utils/checkpoint.restore_model_meta)
                 "anchors": np.asarray(meta.anchors_px).tolist(),
             }
-            save_checkpoint(save_dir / "last", state, ckpt_meta)
-            # artifact upload only on new-best or at --save-period epochs —
-            # per-epoch uploads of the full checkpoint dir would be enormous
-            if fit > best_fit or (
-                opt.save_period > 0 and epoch % opt.save_period == 0
-            ):
-                loggers.log_model_artifact(save_dir / "last", epoch, fit,
-                                           best=fit > best_fit)
+            if main:
+                save_checkpoint(save_dir / "last", state, ckpt_meta)
+                # artifact upload only on new-best or at --save-period
+                # epochs — per-epoch uploads of the full dir are enormous
+                if fit > best_fit or (
+                    opt.save_period > 0 and epoch % opt.save_period == 0
+                ):
+                    loggers.log_model_artifact(save_dir / "last", epoch, fit,
+                                               best=fit > best_fit)
             callbacks.run("on_model_save", epoch=epoch, path=save_dir / "last")
+            # best/patience state must update identically on every process
+            # (fit is broadcast above) — only the file writes are gated
             if fit > best_fit or val_ds is None:
                 best_fit = max(best_fit, fit)
                 patience_left = opt.patience
-                save_weights(
-                    save_dir / "best",
-                    state.ema_params, state.batch_stats, ckpt_meta,
-                )
+                if main:
+                    save_weights(
+                        save_dir / "best",
+                        state.ema_params, state.batch_stats, ckpt_meta,
+                    )
             else:
                 patience_left -= 1
-            if opt.save_period > 0 and epoch % opt.save_period == 0:
+            if main and opt.save_period > 0 and epoch % opt.save_period == 0:
                 save_checkpoint(save_dir / f"epoch{epoch}", state, ckpt_meta)
         if patience_left <= 0:
             print(f"early stopping at epoch {epoch} (patience {opt.patience})")
@@ -359,7 +395,8 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     try:
         from yolov5_obb_tpu.utils.plots import plot_results
 
-        plot_results(save_dir / "results.csv")
+        if main:
+            plot_results(save_dir / "results.csv")
     except Exception as e:
         print(f"plot_results failed: {e}")
     print(f"training complete; best fitness {best_fit:.4f}; results in {save_dir}")

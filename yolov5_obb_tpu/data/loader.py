@@ -47,6 +47,8 @@ def create_dataloader(
     num_epochs: int | None = None,
     drop_remainder: bool = True,
     indices=None,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ) -> Iterator[Batch]:
     """Iterate fixed-shape batches.
 
@@ -54,6 +56,11 @@ def create_dataloader(
     in-process generator (useful for tests and small jobs).
     ``indices`` overrides the epoch's sample order (e.g. image-weighted
     resampling, reference train.py:278-281).
+    ``shard_index``/``shard_count`` slice the epoch across training
+    processes (multi-host data parallelism): every process runs the same
+    seeded shuffle and takes the strided ``order[shard_index::shard_count]``
+    slice — the reference's DistributedSampler semantics
+    (utils/datasets.py:114).  ``batch_size`` is the PER-PROCESS size.
     """
     if indices is not None:
         indices = np.asarray(indices, np.int64)
@@ -77,7 +84,12 @@ def create_dataloader(
         source = gp.RangeDataSource(start=0, stop=n_rec, step=1)
         sampler = gp.IndexSampler(
             num_records=n_rec,
-            shard_options=gp.NoSharding(),
+            shard_options=(
+                gp.ShardOptions(shard_index=shard_index,
+                                shard_count=shard_count,
+                                drop_remainder=drop_remainder)
+                if shard_count > 1 else gp.NoSharding()
+            ),
             shuffle=shuffle,
             num_epochs=num_epochs,
             seed=seed,
@@ -108,6 +120,8 @@ def create_dataloader(
         order = indices.copy() if indices is not None else np.arange(len(dataset))
         if shuffle:
             rng.shuffle(order)
+        if shard_count > 1:
+            order = order[shard_index::shard_count]
         for start in range(0, len(order), batch_size):
             idxs = order[start : start + batch_size]
             if drop_remainder and len(idxs) < batch_size:

@@ -78,9 +78,18 @@ def make_train_step(model, loss_fn, tx, use_ema: bool = True, mesh: Mesh | None 
 
     loss_fn(maps, targets, t_mask) -> (total, items[4]).
     Batch: image uint8 (B,H,W,3), targets (B,M,186) f32, mask (B,M) bool.
-    ``remat`` rematerialises the forward during backward (jax.checkpoint) —
-    trades ~30% step time for roughly halved activation memory, enabling
-    larger per-chip batches at 1024px.
+
+    ``remat``:
+      - ``True`` / ``"full"``: rematerialise the whole forward during
+        backward (jax.checkpoint) — trades ~30% step time for roughly
+        halved activation memory, enabling larger per-chip batches.
+      - ``"selective"``: save ONLY the bf16 conv outputs as backward
+        residuals (``checkpoint_name("conv_out")`` anchors in
+        models/layers.ConvBnAct) and recompute the f32 BN/SiLU chains in
+        the backward. Stock autodiff keeps ~3 residual tensors per conv
+        block (conv-out bf16 + BN-out/SiLU values f32); the step is
+        HBM-bytes-bound on TPU, so dropping the f32 residuals buys speed
+        AND memory for a few cheap elementwise recomputes.
     """
 
     def step_fn(state: TrainState, image, targets, t_mask):
@@ -97,7 +106,13 @@ def make_train_step(model, loss_fn, tx, use_ema: bool = True, mesh: Mesh | None 
                 mutable=["batch_stats"],
             )
 
-        if remat:
+        if remat == "selective":
+            fwd = jax.checkpoint(
+                fwd,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"),
+            )
+        elif remat:
             fwd = jax.checkpoint(fwd)
 
         def loss_of(params):
@@ -150,9 +165,19 @@ def put_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def put_batch(batch, mesh: Mesh | None):
-    """Host batch → device arrays (sharded over the data axis if mesh given)."""
+    """Host batch → device arrays (sharded over the data axis if mesh given).
+
+    Multi-process: each host passes its LOCAL slice of the global batch
+    (``batch_size // process_count`` rows, the reference's per-rank batch,
+    train.py:213) and the slices assemble into one global array across the
+    mesh — the multi-host analogue of DistributedSampler + DDP."""
     arrs = (batch.image, batch.targets, batch.target_mask)
     if mesh is None:
         return tuple(jnp.asarray(a) for a in arrs)
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return tuple(
+            jax.make_array_from_process_local_data(sh, np.asarray(a))
+            for a in arrs
+        )
     return tuple(jax.device_put(a, sh) for a in arrs)

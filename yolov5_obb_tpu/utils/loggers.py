@@ -23,6 +23,7 @@ class Loggers:
         self.save_dir = Path(save_dir)
         self.csv_path = self.save_dir / "results.csv"
         self.keys = [*LOSS_KEYS, *METRIC_KEYS, "fitness", LR_KEY]
+        self.csv = "csv" in include
         self.tb = None
         self.wandb = None
 
@@ -47,12 +48,13 @@ class Loggers:
     def log_epoch(self, epoch: int, values: dict):
         """values keyed by self.keys (missing → 0)."""
         row = {k: float(values.get(k, 0.0)) for k in self.keys}
-        new = not self.csv_path.exists()
-        with open(self.csv_path, "a", newline="") as f:
-            w = csv.writer(f)
-            if new:
-                w.writerow(["epoch", *self.keys])
-            w.writerow([epoch, *(f"{row[k]:.6f}" for k in self.keys)])
+        if self.csv:
+            new = not self.csv_path.exists()
+            with open(self.csv_path, "a", newline="") as f:
+                w = csv.writer(f)
+                if new:
+                    w.writerow(["epoch", *self.keys])
+                w.writerow([epoch, *(f"{row[k]:.6f}" for k in self.keys)])
         if self.tb is not None:
             import tensorflow as tf
 
