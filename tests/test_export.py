@@ -77,3 +77,36 @@ def test_detect_via_stablehlo_backend(tmp_path, mini_dota_session):
     dopt.data = str(data_yaml)
     save_dir = detect_cli.run(dopt)
     assert save_dir.exists()
+
+
+@pytest.mark.slow
+def test_tflite_export_and_inference(tmp_path):
+    """TFLite conversion (reference export.py:218 export_tflite) + the
+    interpreter reproduces the JAX forward on one image."""
+    import types
+
+    import jax.numpy as jnp
+    import tensorflow as tf
+
+    import export as export_cli
+
+    opt = types.SimpleNamespace(
+        weights="", cfg="yolov5n.yaml", imgsz=64, batch_size=1, nc=3,
+        include=["tflite"], out=str(tmp_path),
+    )
+    fwd, variables, meta = export_cli.build_forward(opt)
+    res = export_cli.run(opt)
+    path = res["tflite"]
+    assert Path(path).exists() and Path(path).stat().st_size > 1000
+
+    interp = tf.lite.Interpreter(model_path=str(path))
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    x = np.random.default_rng(0).random((1, 64, 64, 3), np.float32)
+    interp.set_tensor(inp["index"], x)
+    interp.invoke()
+    got = interp.get_tensor(out["index"])
+    want = np.asarray(fwd(jnp.asarray(x)))
+    assert got.shape == want.shape  # (1, n_anchors, 5+nc+180) decoded
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

@@ -122,3 +122,35 @@ def test_mesh_eval_matches_single_device(mini_dota_session):
                   mesh=make_mesh(4, platform="cpu"))
     assert r1["map50"] == r8["map50"]
     assert r1["mp"] == r8["mp"] and r1["mr"] == r8["mr"]
+
+
+def test_selective_remat_matches_stock(rng):
+    """remat='selective' (save only conv_out residuals, recompute BN/SiLU
+    in the backward) is a pure scheduling change — the loss trajectory must
+    match the stock step."""
+    import jax
+
+    nc = 2
+    model, variables, meta = create_model("yolov5n.yaml", nc=nc, imgsz=64)
+    loss_fn = ComputeLoss(meta)
+    hyp = {"lr0": 0.01, "warmup_epochs": 0.0}
+    tx, _ = build_optimizer(
+        variables["params"], hyp, epochs=5, steps_per_epoch=5, batch_size=64
+    )
+    img, targets, mask = _fixed_batch(rng, B=2)
+    batch = _B(img, targets, mask)
+
+    v1 = jax.tree.map(jnp.copy, variables)
+    v2 = jax.tree.map(jnp.copy, variables)
+    s1 = create_train_state(v1, tx)
+    s2 = create_train_state(v2, tx)
+    step1 = make_train_step(model, loss_fn, tx)
+    step2 = make_train_step(model, loss_fn, tx, remat="selective")
+
+    l1, l2 = [], []
+    for _ in range(3):
+        s1, m1 = step1(s1, *put_batch(batch, None))
+        s2, m2 = step2(s2, *put_batch(batch, None))
+        l1.append(float(m1["loss"]))
+        l2.append(float(m2["loss"]))
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)

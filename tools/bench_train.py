@@ -46,7 +46,9 @@ def main():
         batch_size=BATCH, nominal_batch=BATCH,
     )
     state = create_train_state(variables, tx)
-    step_fn = make_train_step(model, loss_fn, tx)
+    # REMAT=selective|full A/Bs the rematerialisation policy (see trainer)
+    step_fn = make_train_step(model, loss_fn, tx,
+                              remat=os.environ.get("REMAT", "") or False)
 
     rng = np.random.default_rng(0)
     batches = []

@@ -195,9 +195,20 @@ def run_flow(out: Path, *, n_images=8, raw_size=768, subsize=384, gap=128,
     mean_ap, classaps = evaluate_task1(
         merged, raw / "labelTxt", image_ids, DOTA_V1_NAMES, ovthresh=0.5,
     )
+    # angle accuracy: mean Angle-Orientation Error of matched detections
+    # (reference mAOE_evaluation.py:48-172) — CSL is the reference's entire
+    # point, so the golden flow reports it alongside mAP
+    from yolov5_obb_tpu.devkit.evaluate import evaluate_maoe
+
+    maoe, maoe_cls = evaluate_maoe(
+        merged, raw / "labelTxt", image_ids, DOTA_V1_NAMES,
+        conf_thresh=0.1,
+    )
     return {
         "golden_obb_map": round(float(mean_ap), 4),
         "hbb_map50": round(float(vres["map50"]), 4),
+        "maoe_deg": round(float(maoe), 2),
+        "maoe_classes": {k: round(float(v), 2) for k, v in maoe_cls.items()},
         "tiles": n_tiles, "epochs": epochs, "imgsz": imgsz,
         "classaps": {k: round(float(v), 3) for k, v in classaps.items()},
     }

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 DType = Any
 
@@ -101,6 +102,11 @@ class ConvBnAct(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        # selective-remat anchor: under the train step's
+        # save_only_these_names policy ONLY this (bf16) tensor is kept as
+        # the bwd residual; BN/SiLU (f32!) are recomputed on the fly.
+        # Outside a remat context this is the identity.
+        x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,
