@@ -32,8 +32,12 @@ def test_golden_flow_learns(tmp_path):
         tmp_path / "golden", n_images=4, raw_size=640, subsize=384, gap=128,
         imgsz=128, epochs=250, batch=8, hyp_overrides={"lr0": 0.025},
     )
-    # chance level is ~0; a working train/decode/NMS/merge/eval stack on
-    # 16 tiles reaches >= 0.10 by epoch 250 (calibration r2: 0.118 @200ep,
-    # 0.55 @800ep/24 tiles, see PARITY.md golden row)
-    assert res["golden_obb_map"] >= 0.10, res
-    assert res["hbb_map50"] >= 0.10, res
+    # calibrated floors (r3, this exact seeded setting measures
+    # mAP 0.163 / hbb 0.176 / mAOE 35.2 deg; training is seeded and
+    # CPU-deterministic): a real accuracy regression fails this, a
+    # flaky-tolerance margin of ~25% is left
+    assert res["golden_obb_map"] >= 0.12, res
+    assert res["hbb_map50"] >= 0.13, res
+    # angle accuracy (CSL is the reference's raison d'etre): mean
+    # angle-orientation error of matched detections must stay bounded
+    assert 0.0 < res["maoe_deg"] <= 55.0, res
