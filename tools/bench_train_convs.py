@@ -76,6 +76,16 @@ def main():
             (l, y), gw = jax.value_and_grad(f, has_aux=True)(w, x)
             return acc + l + jnp.sum(gw.astype(jnp.float32))
 
+        @jax.jit
+        def fwdbwd_full(acc, x, w):
+            # the real train step's per-conv cost: igrad AND wgrad
+            def f(w, x):
+                return jnp.sum(conv(x, w).astype(jnp.float32) ** 2)
+
+            l, (gw, gx) = jax.value_and_grad(f, argnums=(0, 1))(w, x)
+            return acc + l + jnp.sum(gw.astype(jnp.float32)) + jnp.sum(
+                gx.astype(jnp.float32))
+
         acc0 = jax.device_put(np.zeros((), np.float32))
 
         def timeit(fn):
@@ -93,6 +103,7 @@ def main():
 
         t_f = timeit(fwd)
         t_fb = timeit(fwdbwd)
+        t_fbf = timeit(fwdbwd_full)
 
         Ho = H // s
         flops_f = 2 * B * Ho * Ho * k * k * ci * co
@@ -103,14 +114,17 @@ def main():
         rows.append(dict(
             name=name, H=H, ci=ci, co=co, k=k, s=s,
             fwd_ms=round(t_f, 4), fwdbwd_ms=round(t_fb, 4),
-            bwd_ms=round(t_fb - t_f, 4),
+            wgrad_ms=round(t_fb - t_f, 4),
+            igrad_ms=round(t_fbf - t_fb, 4),
+            full_ms=round(t_fbf, 4),
             flop_sol_ms=round(sol_f, 4), byte_sol_ms=round(sol_b, 4),
         ))
         print(json.dumps(rows[-1]), flush=True)
 
     tot_f = sum(r["fwd_ms"] for r in rows)
-    tot_b = sum(r["bwd_ms"] for r in rows)
-    print(f"# sum fwd {tot_f:.3f} ms/img, sum bwd-extra {tot_b:.3f} ms/img")
+    tot_w = sum(r["wgrad_ms"] for r in rows)
+    tot_i = sum(r["igrad_ms"] for r in rows)
+    print(f"# sum fwd {tot_f:.3f} + wgrad {tot_w:.3f} + igrad {tot_i:.3f} ms/img")
 
 
 if __name__ == "__main__":

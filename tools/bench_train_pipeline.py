@@ -77,12 +77,24 @@ def main():
                 ds.load_image(i)
         results[tag] = _rate(ds, seed=1, n_batches=n_batches)
 
-    host = results["cache_ram"]
+    # --cache shards: pre-augmented mmap replay (train.py --cache shards)
+    from yolov5_obb_tpu.data.shards import ShardDataset, write_shards
+
+    sdir = root / "cache" / "shards"
+    t0 = time.perf_counter()
+    if not (sdir / "meta.json").exists():
+        write_shards(ds, sdir, aug_epochs=2, seed=0, verbose=False)
+        results["shards_build_s"] = round(time.perf_counter() - t0, 1)
+    results["shards"] = _rate(ShardDataset(sdir), seed=1, n_batches=n_batches)
+
+    host = max(results["cache_ram"], results["shards"])
     projected = min(host, STEP_RATE)
     print(json.dumps({
         "metric": "train_pipeline_imgs_per_s",
         "host_cold": round(results["cold"], 2),
         "host_cache_ram": round(results["cache_ram"], 2),
+        "host_shards": round(results["shards"], 2),
+        "shards_build_s": results.get("shards_build_s"),
         "device_step": STEP_RATE,
         "value": round(projected, 2),
         "unit": "img/s",

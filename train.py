@@ -71,8 +71,13 @@ def parse_opt():
                    help="train as a single-class dataset")
     p.add_argument("--label-smoothing", type=float, default=None,
                    help="cls BCE label smoothing epsilon (overrides hyp)")
-    p.add_argument("--cache", type=str, default=None, choices=["ram", "disk"],
-                   help="cache resized images in RAM or on disk")
+    p.add_argument("--cache", type=str, default=None,
+                   choices=["ram", "disk", "shards"],
+                   help="ram/disk: cache resized images (reference --cache);"
+                        " shards: pre-augment into memory-mapped shards and"
+                        " replay at memory bandwidth (one-core hosts)")
+    p.add_argument("--aug-epochs", type=int, default=4,
+                   help="--cache shards: pre-augmented variants per sample")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
@@ -133,17 +138,32 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
     # --- data ---------------------------------------------------------
     cache_images = getattr(opt, "cache", None)
+    use_shards = cache_images == "shards"
     train_ds = DotaDataset(
         d["train"], d["names"], img_size=opt.imgsz, hyp=hyp, augment=True,
         max_labels=opt.max_labels, cache_dir=save_dir / "cache",
-        single_cls=single_cls, cache_images=cache_images,
+        single_cls=single_cls,
+        cache_images=None if use_shards else cache_images,
     )
+    shard_ds = None
+    if use_shards:
+        from yolov5_obb_tpu.data.shards import ShardDataset, write_shards
+
+        sdir = Path(save_dir) / "cache" / "shards"
+        if not (sdir / "meta.json").exists():
+            print("building pre-augmented shard cache "
+                  f"({getattr(opt, 'aug_epochs', 4)} variants/sample)...")
+            write_shards(train_ds, sdir,
+                         aug_epochs=getattr(opt, "aug_epochs", 4),
+                         seed=opt.seed)
+        shard_ds = ShardDataset(sdir)
     val_ds = None
     if not opt.noval and d.get("val"):
         val_ds = DotaDataset(
             d["val"], d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,
             max_labels=1000, cache_dir=save_dir / "cache",
-            single_cls=single_cls, cache_images=cache_images,
+            single_cls=single_cls,
+            cache_images=None if use_shards else cache_images,
         )
     steps_per_epoch = max(len(train_ds) // opt.batch_size, 1)
 
@@ -277,8 +297,15 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
             indices = iw_rng.choice(len(train_ds), size=len(train_ds), p=iw)
         # multi-host: each process loads its strided slice of the epoch at
         # batch_size/n_proc; put_batch assembles the global batch on the mesh
+        if shard_ds is not None:
+            # one epoch = a fresh pre-augmented variant of each source image
+            # (composes with image-weighted resampling), already shuffled
+            indices = shard_ds.epoch_indices(epoch, seed=opt.seed,
+                                             source_indices=indices)
         loader = create_dataloader(
-            train_ds, opt.batch_size // n_proc, shuffle=True, augment=True,
+            shard_ds if shard_ds is not None else train_ds,
+            opt.batch_size // n_proc,
+            shuffle=shard_ds is None, augment=True,
             seed=opt.seed + epoch, num_workers=opt.workers, num_epochs=1,
             indices=indices,
             shard_index=jax.process_index(), shard_count=n_proc,
