@@ -67,3 +67,90 @@ def test_fused_down_module_path_equivalence(monkeypatch):
     a = np.asarray(stock.apply(v, x, False), np.float32)
     b = np.asarray(fused.apply(v, x, False), np.float32)
     assert np.abs(a - b).max() <= 0.05
+
+
+# ---------------------------------------------------------------------------
+# train mode: raw-conv kernel + custom-VJP (Pallas wgrad, XLA igrad)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_down_train_fwd_and_grads_match_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.pallas.down_kernel import (_conv_raw_xla,
+                                                       fused_down_train)
+
+    rng = np.random.default_rng(11)
+    H, W, ci, co = 64, 32, 16, 24
+    x = jnp.asarray(rng.standard_normal((2, H, W, ci)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((9 * ci, co)) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2, H // 2, W // 2, co)),
+                      jnp.float32)
+
+    def loss(x, w, use_pallas):
+        z = fused_down_train(x, w, use_pallas=use_pallas)
+        return jnp.sum(z.astype(jnp.float32) * cot)
+
+    z_p = fused_down_train(x, w, use_pallas=True)
+    z_x = _conv_raw_xla(x, w)
+    np.testing.assert_allclose(np.asarray(z_p, np.float32),
+                               np.asarray(z_x, np.float32),
+                               atol=0.05, rtol=0.05)
+
+    gx_p, gw_p = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(x, w)
+    gx_x, gw_x = jax.grad(lambda a, b: loss(a, b, False), argnums=(0, 1))(x, w)
+    gw_x_np = np.asarray(gw_x)
+    np.testing.assert_allclose(np.asarray(gw_p), gw_x_np,
+                               atol=0.02 * np.abs(gw_x_np).max(), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(gx_p, np.float32),
+                               np.asarray(gx_x, np.float32),
+                               atol=0.05, rtol=0.05)
+
+
+def test_fused_down_train_module_path(monkeypatch):
+    """ConvBnAct(fused=True, train) == stock ConvBnAct(train): output,
+    batch-stats update, and grads, with the interpret-mode kernel forced."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models import layers
+    from yolov5_obb_tpu.models.layers import ConvBnAct
+    from yolov5_obb_tpu.ops.pallas import down_kernel
+
+    monkeypatch.setattr(layers, "_FUSED_DOWN_MIN_SPATIAL", 0)
+    monkeypatch.setattr(
+        down_kernel, "fused_down_train",
+        functools.partial(down_kernel.fused_down_train, use_pallas=True))
+    stock = ConvBnAct(48, 3, 2, dtype=jnp.bfloat16)
+    fused = ConvBnAct(48, 3, 2, dtype=jnp.bfloat16, fused=True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32, 32)), jnp.bfloat16)
+    v = stock.init(jax.random.PRNGKey(1), x, False)
+    assert fused._down_train_eligible(x, True)
+
+    a, upd_a = stock.apply(v, x, True, mutable=["batch_stats"])
+    b, upd_b = fused.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=0.05,
+                               rtol=0.05)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(upd_a["batch_stats"]["BatchNorm_0"][k]),
+            np.asarray(upd_b["batch_stats"]["BatchNorm_0"][k]),
+            atol=1e-2, rtol=1e-2)
+
+    def loss(params, mod):
+        y, _ = mod.apply({"params": params,
+                          "batch_stats": v["batch_stats"]},
+                         x, True, mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    ga = jax.grad(lambda p: loss(p, stock))(v["params"])
+    gb = jax.grad(lambda p: loss(p, fused))(v["params"])
+    ka = np.asarray(ga["Conv_0"]["kernel"])
+    kb = np.asarray(gb["Conv_0"]["kernel"])
+    np.testing.assert_allclose(kb, ka, atol=0.05 * np.abs(ka).max(),
+                               rtol=0.05)

@@ -1,0 +1,101 @@
+"""Train-mode packed-stem path: full-model loss/grad parity vs stock.
+
+The packed train path (train.py --packed-stem, models/layers.PackedStem
+train branch, ops/pallas/stem_kernel.stem_conv_train) must train the SAME
+model: identical param tree, matching loss and gradients, interchangeable
+checkpoints. On CPU the Pallas kernels fall back to XLA; the kernels
+themselves are covered by test_stem_kernel/test_down_kernel interpret-mode
+tests.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built():
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models.yolo import create_model
+
+    stock = create_model("yolov5n.yaml", nc=3, dtype=jnp.bfloat16,
+                         rng=jax.random.PRNGKey(0), imgsz=64,
+                         packed_stem=False)
+    packed = create_model("yolov5n.yaml", nc=3, dtype=jnp.bfloat16,
+                          rng=jax.random.PRNGKey(0), imgsz=64,
+                          packed_stem=True)
+    return stock, packed
+
+
+def test_param_trees_identical(built):
+    import jax.tree_util as jtu
+
+    (_, v_s, _), (_, v_p, _) = built
+    paths = lambda t: [jtu.keystr(k) for k, _ in
+                       jtu.tree_flatten_with_path(t)[0]]
+    assert paths(v_s) == paths(v_p)
+
+
+def test_train_step_loss_and_grads_match(built):
+    import jax
+    import jax.numpy as jnp
+
+    (model_s, v_s, meta), (model_p, _, _) = built
+    assert model_p.packed_stem
+
+    from yolov5_obb_tpu.engine.loss import ComputeLoss
+    from yolov5_obb_tpu.utils.general import load_hyp, scale_hyp_gains
+
+    loss_fn = ComputeLoss(meta, scale_hyp_gains(load_hyp(None), meta.nl, 3, 64))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    tg = np.zeros((2, 8, 186), np.float32)
+    tg[:, :4, 0] = rng.integers(0, 3, (2, 4))
+    tg[:, :4, 1:3] = rng.uniform(10, 54, (2, 4, 2))
+    tg[:, :4, 3:5] = rng.uniform(6, 20, (2, 4, 2))
+    tg[:, :4, 5] = rng.uniform(-1.5, 1.5, (2, 4))
+    tg[:, :4, 6:] = rng.uniform(0, 1, (2, 4, 180))
+    mask = np.zeros((2, 8), bool)
+    mask[:, :4] = True
+    tg, mask = jnp.asarray(tg), jnp.asarray(mask)
+
+    def loss_of(model, params, x):
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": v_s["batch_stats"]},
+            x, train=True, flat=True, mutable=["batch_stats"])
+        total, _ = loss_fn(outs, tg, mask)
+        return total
+
+    x_s = jnp.asarray(img, jnp.float32) / 255.0
+    x_p = jnp.asarray(img.reshape(2, 64, -1))
+
+    l_s, g_s = jax.value_and_grad(
+        lambda p: loss_of(model_s, p, x_s))(v_s["params"])
+    l_p, g_p = jax.value_and_grad(
+        lambda p: loss_of(model_p, p, x_p))(v_s["params"])
+
+    np.testing.assert_allclose(float(l_p), float(l_s), rtol=2e-2)
+    # the two paths round at different points (stock: x/255 → bf16;
+    # packed: w/255 → bf16), and train-mode BatchNorm renormalization
+    # amplifies that ~0.4% stem noise through 20+ bf16 layers — elementwise
+    # grad parity is unattainable for ANY two bf16 lowerings.  Control
+    # (measured): the STOCK model fed a one-bf16-ulp input perturbation
+    # diverges by the same amount (fwd maxdiff ~0.9-1.5 across levels) as
+    # packed-vs-stock does.  Assert what training parity actually needs:
+    # matching loss and directional agreement of the gradients.
+    import jax.tree_util as jtu
+
+    def cos(ga, gb):
+        a = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jtu.tree_leaves(ga)])
+        b = np.concatenate([np.ravel(np.asarray(x, np.float64))
+                            for x in jtu.tree_leaves(gb)])
+        n = np.linalg.norm(a) * np.linalg.norm(b)
+        return float(a @ b / n) if n else 1.0
+
+    det = f"m{len(model_s.specs) - 1}"
+    assert cos(g_s[det], g_p[det]) > 0.9, cos(g_s[det], g_p[det])
+    for name in ("m0", "m1", "m2"):
+        c = cos(g_s[name], g_p[name])
+        assert c > 0.7, (name, c)

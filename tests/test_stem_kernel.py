@@ -136,3 +136,105 @@ def test_fused_stem_l1_matches_stock_chain(rng):
     np.testing.assert_allclose(got[:, -1], ref[:, -1], atol=6e-2, rtol=6e-2)
     np.testing.assert_allclose(got[:, :, -1], ref[:, :, -1], atol=6e-2,
                                rtol=6e-2)
+
+
+# ---------------------------------------------------------------------------
+# train mode: raw-conv kernel + custom-VJP Pallas wgrad
+# ---------------------------------------------------------------------------
+
+
+def test_stem_conv_train_fwd_matches_xla(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.pallas.stem_kernel import (remap_w6,
+                                                       stem_conv_train)
+
+    B, H, W, C2 = 2, 64, 64, 48
+    img = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+    w6 = jnp.asarray(rng.normal(0, 0.05, (6, 6, 3, C2)), jnp.float32)
+    w108 = remap_w6(w6) / 255.0
+    xp = jnp.asarray(img.reshape(B, H, -1))
+
+    got = stem_conv_train(xp, w108, H, W, use_pallas=True)
+    ref = stem_conv_train(xp, w108, H, W, use_pallas=False)
+    assert got.shape == (B, H // 2, W // 2, C2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_stem_conv_train_wgrad_matches_autodiff(rng):
+    """The custom-VJP Pallas wgrad must agree with XLA autodiff through the
+    fallback conv (same remapped-tap parameterization)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.pallas.stem_kernel import (remap_w6,
+                                                       stem_conv_train)
+
+    B, H, W, C2 = 2, 64, 64, 16
+    img = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+    w6 = jnp.asarray(rng.normal(0, 0.05, (6, 6, 3, C2)), jnp.float32)
+    w108 = remap_w6(w6) / 255.0
+    xp = jnp.asarray(img.reshape(B, H, -1))
+    # a non-uniform cotangent so every tap row is exercised
+    cot = jnp.asarray(
+        rng.normal(0, 1.0, (B, H // 2, W // 2, C2)), jnp.float32)
+
+    def loss(w108, use_pallas):
+        z = stem_conv_train(xp, w108, H, W, use_pallas=use_pallas)
+        return jnp.sum(z.astype(jnp.float32) * cot)
+
+    g_pallas = jax.grad(lambda w: loss(w, True))(w108)
+    g_xla = jax.grad(lambda w: loss(w, False))(w108)
+    # bf16 dot accumulation: relative tolerance on O(100) grads
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               atol=2e-2 * float(jnp.abs(g_xla).max()),
+                               rtol=2e-2)
+
+
+def test_packed_stem_train_matches_convbnact(rng):
+    """PackedStem(train=True) == ConvBnAct(6,2,2)(train=True): output,
+    batch-stats update, and kernel gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.models.layers import ConvBnAct, PackedStem
+
+    B, H, W, C2 = 2, 64, 64, 48
+    img = rng.integers(0, 255, (B, H, W, 3)).astype(np.uint8)
+
+    ref_mod = ConvBnAct(C2, 6, 2, 2, dtype=jnp.bfloat16)
+    variables = ref_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+
+    xf = jnp.asarray(img, jnp.float32) / 255.0
+    ref, ref_upd = ref_mod.apply(variables, xf, train=True,
+                                 mutable=["batch_stats"])
+
+    pk_mod = PackedStem(C2, dtype=jnp.bfloat16)
+    xp = jnp.asarray(img.reshape(B, H, -1))
+    got, got_upd = pk_mod.apply(variables, xp, train=True,
+                                mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(got_upd["batch_stats"]["BatchNorm_0"][k]),
+            np.asarray(ref_upd["batch_stats"]["BatchNorm_0"][k]),
+            atol=1e-2, rtol=1e-2)
+
+    def loss(params, mod, x):
+        y, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, ref_mod, xf))(variables["params"])
+    g_got = jax.grad(lambda p: loss(p, pk_mod, xp))(variables["params"])
+    gr = np.asarray(g_ref["Conv_0"]["kernel"])
+    gg = np.asarray(g_got["Conv_0"]["kernel"])
+    np.testing.assert_allclose(gg, gr, atol=5e-2 * np.abs(gr).max(),
+                               rtol=5e-2)

@@ -37,8 +37,12 @@ def main():
     from yolov5_obb_tpu.utils.general import scale_hyp_gains
 
     hyp = load_hyp(None)
+    # PACKED=0 disables the train-mode packed-stem Pallas kernels (A/B)
+    packed = bool(int(os.environ.get(
+        "PACKED", "1" if jax.default_backend() == "tpu" else "0")))
     model, variables, meta = create_model(
-        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ
+        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
+        packed_stem=packed,
     )
     loss_fn = ComputeLoss(meta, scale_hyp_gains(hyp, meta.nl, meta.nc, IMGSZ))
     tx, _ = build_optimizer(
@@ -54,6 +58,8 @@ def main():
     batches = []
     for _ in range(2):
         img = rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
+        if packed:
+            img = img.reshape(BATCH, IMGSZ, -1)  # free host view
         tg = np.zeros((BATCH, MAX_LABELS, 186), np.float32)
         tg[:, :8, 0] = rng.integers(0, 15, (BATCH, 8))
         tg[:, :8, 1:3] = rng.uniform(100, 900, (BATCH, 8, 2))

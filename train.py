@@ -78,6 +78,12 @@ def parse_opt():
                         " replay at memory bandwidth (one-core hosts)")
     p.add_argument("--aug-epochs", type=int, default=4,
                    help="--cache shards: pre-augmented variants per sample")
+    p.add_argument("--packed-stem", dest="packed_stem", default=None,
+                   action="store_true",
+                   help="train with the packed-view Pallas stem kernels "
+                        "(default: auto — on for TPU backends)")
+    p.add_argument("--no-packed-stem", dest="packed_stem",
+                   action="store_false")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
@@ -183,9 +189,15 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
     # --- model / loss / optimizer -------------------------------------
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    # packed stem (TPU): train-mode Pallas stem kernel reads the image from
+    # the unpadded (B, H, W*3) u8 view instead of paying the NHWC C=3
+    # lane-pad (3→128) in fwd AND wgrad; default on for TPU backends
+    packed = getattr(opt, "packed_stem", None)
+    if packed is None:
+        packed = jax.default_backend() == "tpu"
     model, variables, meta = create_model(
         opt.cfg, nc=nc, dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
-        imgsz=opt.imgsz,
+        imgsz=opt.imgsz, packed_stem=packed,
     )
     if opt.weights:
         from yolov5_obb_tpu.utils.checkpoint import load_weights
@@ -324,7 +336,7 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
                                 names, save_dir / "train_batch0.png")
                 except Exception as e:
                     print(f"train-batch plot failed: {e}")
-            dev = put_batch(batch, mesh)
+            dev = put_batch(batch, mesh, packed=model.packed_stem)
             state, m = step_fn(state, *dev)
             mloss_dev = m["items"] if mloss_dev is None else mloss_dev + m["items"]
             nb += 1

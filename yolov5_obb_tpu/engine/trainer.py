@@ -93,7 +93,12 @@ def make_train_step(model, loss_fn, tx, use_ema: bool = True, mesh: Mesh | None 
     """
 
     def step_fn(state: TrainState, image, targets, t_mask):
-        x = image.astype(jnp.float32) / 255.0
+        if image.ndim == 3:
+            # packed (B, H, W*3) uint8 view for a packed_stem model — the
+            # /255 normalize folds into the stem kernel weights
+            x = image
+        else:
+            x = image.astype(jnp.float32) / 255.0
 
         def fwd(params, xx):
             # flat=True: Detect emits (B, n, no) levels — avoids the 5-D
@@ -164,14 +169,22 @@ def put_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, replicated(mesh))
 
 
-def put_batch(batch, mesh: Mesh | None):
+def put_batch(batch, mesh: Mesh | None, packed: bool = False):
     """Host batch → device arrays (sharded over the data axis if mesh given).
 
     Multi-process: each host passes its LOCAL slice of the global batch
     (``batch_size // process_count`` rows, the reference's per-rank batch,
     train.py:213) and the slices assemble into one global array across the
-    mesh — the multi-host analogue of DistributedSampler + DDP."""
-    arrs = (batch.image, batch.targets, batch.target_mask)
+    mesh — the multi-host analogue of DistributedSampler + DDP.
+
+    ``packed``: upload the image as the ``(B, H, W*3)`` u8 view a
+    packed-stem model consumes (a free host-side reshape — uploading NHWC
+    and reshaping on device would pay the padded-layout copy)."""
+    image = batch.image
+    if packed:
+        image = np.ascontiguousarray(image).reshape(
+            image.shape[0], image.shape[1], -1)
+    arrs = (image, batch.targets, batch.target_mask)
     if mesh is None:
         return tuple(jnp.asarray(a) for a in arrs)
     sh = batch_sharding(mesh)

@@ -75,6 +75,19 @@ class ConvBnAct(nn.Module):
             and x.shape[1] * x.shape[2] >= _FUSED_DOWN_MIN_SPATIAL
         )
 
+    def _down_train_eligible(self, x, train):
+        from ..ops.pallas.down_kernel import shape_eligible
+
+        initializing = self.scope is not None and self.is_initializing()
+        return (
+            self.fused and train and not initializing
+            and self.k == 3 and self.s == 2 and self.g == 1 and self.act
+            and self.p in (None, 1)
+            and x.ndim == 4 and x.shape[-1] % 16 == 0 and self.c2 % 16 == 0
+            and shape_eligible(x.shape[1], x.shape[2], x.shape[-1])
+            and x.shape[1] * x.shape[2] >= _FUSED_DOWN_MIN_SPATIAL
+        )
+
     def _fused_down(self, x):
         from ..ops.pallas.down_kernel import fused_down
 
@@ -87,10 +100,34 @@ class ConvBnAct(nn.Module):
         return fused_down(x.astype(jnp.bfloat16), w_taps, ss).astype(
             self.dtype)
 
+    def _fused_down_train(self, x):
+        """Train-mode fused downsample: raw-conv Pallas kernel (custom VJP
+        with a Pallas wgrad) + live BatchNorm/SiLU in XLA — the stock
+        fwd+wgrad run ~5x over their byte floors at the eligible
+        high-resolution shapes (tools/bench_train_convs.py)."""
+        from ..ops.pallas.down_kernel import fused_down_train
+
+        ci = x.shape[-1]
+        kernel = _AnyConvParams((3, 3, ci, self.c2), name="Conv_0")()
+        w_taps = kernel.reshape(9 * ci, self.c2)
+        z = fused_down_train(x.astype(jnp.bfloat16), w_taps)
+        z = checkpoint_name(z, "conv_out")
+        z = nn.BatchNorm(
+            use_running_average=False,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="BatchNorm_0",
+        )(z)
+        return nn.silu(z).astype(self.dtype)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self._down_eligible(x, train):
             return self._fused_down(x)
+        if self._down_train_eligible(x, train):
+            return self._fused_down_train(x)
         p = autopad(self.k, self.p)
         x = nn.Conv(
             self.c2,
@@ -150,14 +187,19 @@ class _StemBnParams(nn.Module):
 
 
 class PackedStem(nn.Module):
-    """Inference-only fused image ingest + stem Conv(6,2,2)+BN+SiLU.
+    """Fused image ingest + stem Conv(6,2,2)+BN+SiLU.
 
     Takes the image as a packed ``(B, H, W*3)`` uint8 *view* (a free host
     reshape of the NHWC batch) — the NHWC C=3 feed is lane-padded 3→128 on
     TPU (~42x HBM inflation just to read it; tools/bench_stem_layout.py).
-    The /255 normalize and the BatchNorm affine fold into the conv weights
-    (``fold_stem_params``), and a Pallas kernel computes the convolution
-    from the unpadded layout (ops/pallas/stem_kernel.py).
+    The /255 normalize folds into the conv weights, and a Pallas kernel
+    computes the convolution from the unpadded layout
+    (ops/pallas/stem_kernel.py).
+
+    Inference additionally folds the BatchNorm affine + SiLU into the
+    kernel; training runs the raw-conv kernel (custom VJP: a Pallas wgrad
+    kernel — the image needs no input grad) with live BatchNorm batch
+    stats in XLA on the 48-channel output.
 
     The parameter tree is identical to ``ConvBnAct(c2, 6, 2, 2)`` — trained
     checkpoints load into either module unchanged.
@@ -168,14 +210,30 @@ class PackedStem(nn.Module):
 
     @nn.compact
     def __call__(self, x_packed, train: bool = False):
-        if train:
-            raise ValueError("PackedStem is inference-only (BN stats frozen)")
-        from ..ops.pallas.stem_kernel import fold_stem_params, fused_stem
+        from ..ops.pallas.stem_kernel import (
+            fold_stem_params,
+            fused_stem,
+            remap_w6,
+            stem_conv_train,
+        )
 
         kernel = _StemConvParams(self.c2, name="Conv_0")()
+        B, H, W3 = x_packed.shape
+        if train:
+            w108 = remap_w6(kernel) / 255.0  # fold the input normalize
+            z = stem_conv_train(x_packed, w108, H, W3 // 3)
+            z = checkpoint_name(z, "conv_out")
+            z = nn.BatchNorm(
+                use_running_average=False,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="BatchNorm_0",
+            )(z)
+            return nn.silu(z).astype(self.dtype)
         scale, bias, mean, var = _StemBnParams(self.c2, name="BatchNorm_0")()
         w108, b = fold_stem_params(kernel, scale, bias, mean, var)
-        B, H, W3 = x_packed.shape
         return fused_stem(x_packed, w108, b, H, W3 // 3).astype(self.dtype)
 
 

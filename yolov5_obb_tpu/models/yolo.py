@@ -303,14 +303,14 @@ class YoloModel(nn.Module):
                     f"packed_stem needs a Conv(c2, 6, 2) first layer, got "
                     f"{s0.name}{tuple(s0.args)}"
                 )
-            if self.packed_l1:
+            if self.packed_l1 and not train:
                 # stem + layer-1 in ONE kernel: the (H/2, W/2, 48) stem
                 # activation never touches HBM.  Param-twin scopes m0/m1
                 # keep the checkpoint tree identical to the stock graph;
                 # layer 0's slot in `y` stays None (validated unreferenced
                 # by build_model before setting packed_l1).
-                if train:
-                    raise ValueError("packed_stem is inference-only")
+                # (train=True drops to the PackedStem train branch below —
+                # raw-conv Pallas kernel + live BN — with layer 1 stock.)
                 from ..ops.pallas.stem_kernel import (
                     fold_stem_l1_params,
                     fused_stem_l1,

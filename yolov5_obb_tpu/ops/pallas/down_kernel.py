@@ -115,6 +115,199 @@ def _kernel(ci, co, x_halo, x_cur, w_ref, s_ref, out_ref, scr):
         out_ref[0, oy] = y.astype(out_ref.dtype)
 
 
+def _stage_slab(x_halo, x_cur, scr, ci):
+    """Stage the program's input slab (halo + block) into the f32 scratch
+    with out-of-image rows zeroed — shared by the fwd and wgrad kernels."""
+    R = _ROWS
+    p = pl.program_id(1)
+    W = x_cur.shape[2]
+    xcat = jnp.concatenate([x_halo[0], x_cur[0]], axis=0)
+    scr_rows = (2 * R + 8) * W
+    loc = jax.lax.broadcasted_iota(jnp.int32, (scr_rows, 1), 0)
+    mask = jnp.where(loc >= (8 - 2 * R * p) * W, 1.0, 0.0)
+    scr[...] = xcat.reshape(scr_rows, ci).astype(jnp.float32) * mask
+
+
+def _row_taps(scr, oy, W, ci):
+    """The 3 dx-packed tap groups of output row ``oy`` read back from the
+    staged slab as strided loads (same packing as the fwd kernel)."""
+    zodd = jnp.zeros((1, ci), jnp.bfloat16)
+    taps = {0: [], 1: [], 2: []}
+    for d in range(3):
+        base = (2 * oy + d + 7) * W
+        even = scr[base: base + W: 2, :].astype(jnp.bfloat16)
+        odd = scr[base + 1: base + W: 2, :].astype(jnp.bfloat16)
+        sh = jnp.concatenate([zodd, odd[:-1]], axis=0)
+        taps[0].append(sh)
+        taps[1].append(even)
+        taps[2].append(odd)
+    return taps
+
+
+def _kernel_raw(ci, co, x_halo, x_cur, w_ref, out_ref, scr):
+    """Train-mode forward: raw pre-BN conv rows (no scale/shift/SiLU)."""
+    R = _ROWS
+    W = x_cur.shape[2]
+    W2 = W // 2
+    _stage_slab(x_halo, x_cur, scr, ci)
+    w = w_ref[...]
+    for oy in range(R):
+        taps = _row_taps(scr, oy, W, ci)
+        acc = jnp.zeros((W2, co), jnp.float32)
+        for dx in range(3):
+            hp = jnp.concatenate(taps[dx], axis=1)  # (W2, 3*ci)
+            wt = jnp.concatenate(
+                [w[(3 * d + dx) * ci: (3 * d + dx + 1) * ci]
+                 for d in range(3)], axis=0)  # (3*ci, co)
+            acc = acc + jax.lax.dot_general(
+                hp, wt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        out_ref[0, oy] = acc.astype(out_ref.dtype)
+
+
+def _wgrad_kernel(ci, co, x_halo, x_cur, dz_ref, out_ref, scr):
+    """Train-mode weight grad: reuses the fwd's staged-slab tap packing.
+
+    out_ref: (3, 3*ci, co) f32 — ``out[dx, d*ci + c, k] = dW[d, dx, c, k]``
+    (reassembled to the (9*ci, co) taps layout outside the kernel);
+    sequential-grid accumulation across all (b, p) programs."""
+    R = _ROWS
+    W = x_cur.shape[2]
+    _stage_slab(x_halo, x_cur, scr, ci)
+    accs = [jnp.zeros((3 * ci, co), jnp.float32) for _ in range(3)]
+    for oy in range(R):
+        taps = _row_taps(scr, oy, W, ci)
+        dzr = dz_ref[0, oy].astype(jnp.bfloat16)  # (W2, co)
+        for dx in range(3):
+            hp = jnp.concatenate(taps[dx], axis=1)  # (W2, 3*ci)
+            accs[dx] = accs[dx] + jax.lax.dot_general(
+                hp, dzr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for dx in range(3):
+        out_ref[dx] += accs[dx]
+
+
+def _conv_raw_xla(x, w_taps):
+    """Plain s2 SAME conv, raw output (differentiable fallback)."""
+    ci = x.shape[-1]
+    co = w_taps.shape[1]
+    w = w_taps.reshape(3, 3, ci, co).astype(jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _down_train_p(x, w_taps):
+    z, _ = _down_train_p_fwd(x, w_taps)
+    return z
+
+
+def _down_train_p_fwd(x, w_taps):
+    B, H, W, ci = x.shape
+    co = w_taps.shape[1]
+    nprog = H // (2 * _ROWS)
+
+    def idx_halo(b, p):
+        return (b, jnp.maximum((_ROWS // 4) * p - 1, 0), 0, 0)
+
+    def idx_cur(b, p):
+        return (b, p, 0, 0)
+
+    xb = x.astype(jnp.bfloat16)
+    z = pl.pallas_call(
+        functools.partial(_kernel_raw, ci, co),
+        grid=(B, nprog),
+        in_specs=[
+            pl.BlockSpec((1, 8, W, ci), idx_halo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * _ROWS, W, ci), idx_cur,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * ci, co), lambda b, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _ROWS, W // 2, co), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, co),
+                                       jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM(((2 * _ROWS + 8) * W, ci), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(xb, xb, jnp.asarray(w_taps, jnp.bfloat16))
+    return z, (xb, w_taps)
+
+
+def _down_train_p_bwd(res, dz):
+    x, w_taps = res
+    B, H, W, ci = x.shape
+    co = w_taps.shape[1]
+    nprog = H // (2 * _ROWS)
+
+    def idx_halo(b, p):
+        return (b, jnp.maximum((_ROWS // 4) * p - 1, 0), 0, 0)
+
+    def idx_cur(b, p):
+        return (b, p, 0, 0)
+
+    dw3 = pl.pallas_call(
+        functools.partial(_wgrad_kernel, ci, co),
+        grid=(B, nprog),
+        in_specs=[
+            pl.BlockSpec((1, 8, W, ci), idx_halo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * _ROWS, W, ci), idx_cur,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, W // 2, co), lambda b, p: (b, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, 3 * ci, co), lambda b, p: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * ci, co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(((2 * _ROWS + 8) * W, ci), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(x, x, dz)
+    # out[dx, d*ci+c, k] → taps layout row (3*d+dx)*ci + c
+    dw = (dw3.reshape(3, 3, ci, co).transpose(1, 0, 2, 3)
+          .reshape(9 * ci, co).astype(w_taps.dtype))
+    # igrad via XLA's own conv transpose (measured near its byte floor —
+    # the fwd/wgrad layout taxes are the Pallas wins, not this)
+    _, pullback = jax.vjp(lambda xx: _conv_raw_xla(xx, w_taps), x)
+    dx, = pullback(dz)
+    return (dx.astype(x.dtype), dw)
+
+
+_down_train_p.defvjp(_down_train_p_fwd, _down_train_p_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def fused_down_train(x, w_taps, use_pallas: bool | None = None):
+    """Train-mode raw downsample conv (pre-BN, no activation).
+
+    Same taps layout as :func:`fused_down`; differentiable in ``x`` and
+    ``w_taps``.  On TPU the forward and weight-grad run as Pallas kernels
+    on the staged-slab layout; the input grad stays on XLA's transposed
+    conv.  Returns ``(B, H/2, W/2, co)`` bf16.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    B, H, W, ci = x.shape
+    if not use_pallas or not shape_eligible(H, W, ci):
+        return _conv_raw_xla(x, w_taps)
+    return _down_train_p(x, w_taps)
+
+
 def _down_xla(x, w_taps, ss):
     """Fallback: same folded math via a plain XLA conv (CPU tests,
     ineligible shapes)."""

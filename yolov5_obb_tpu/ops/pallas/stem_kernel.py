@@ -223,6 +223,225 @@ def fused_stem(x_packed, w108, bias, h: int, w: int,
     return out
 
 
+# ---------------------------------------------------------------------------
+# train-mode stem: raw conv (no BN fold) + custom-VJP Pallas wgrad
+# ---------------------------------------------------------------------------
+#
+# Training cannot fold BatchNorm (batch stats come from the live conv
+# output), but the layout win is the same: the stock train step reads the
+# (B, H, W, 3) image with the C=3 lane dim padded 3→128 in BOTH the forward
+# and the weight-grad conv (measured 0.46 + 0.19 ms/img at yolov5m@1024 vs
+# a 0.04 byte floor, tools/bench_train_convs.py).  These kernels compute
+# the raw pre-BN stem conv from the packed view, with a custom VJP whose
+# backward is a second Pallas kernel producing dW directly — the image
+# needs no input gradient, so the backward is wgrad-only.
+
+
+def _deinterleave(x_packed, h: int, W2: int):
+    """(B, H, 3W) u8 → (B, 6H, W2) bf16, x6[r*6+j, ox] = row[6*ox + j]."""
+    B = x_packed.shape[0]
+    return (
+        x_packed.astype(jnp.bfloat16)
+        .reshape(B, h, W2, 6)
+        .transpose(0, 1, 3, 2)
+        .reshape(B, 6 * h, W2)
+    )
+
+
+def _xcat_masked(x6_prev, x6_cur, x6_next, halo: int):
+    """Concatenate the program's x6 block with ``halo`` neighbour rows each
+    side and zero rows outside the image (shared by fwd and wgrad)."""
+    R = _ROWS
+    p = pl.program_id(1)
+    nprog = pl.num_programs(1)
+    xcat = jnp.concatenate(
+        [x6_prev[0, -halo:, :], x6_cur[0], x6_next[0, :halo, :]], axis=0
+    )
+    loc = jax.lax.broadcasted_iota(jnp.int32, (12 * R + 2 * halo, 1), 0)
+    g = 12 * R * p + loc - halo
+    total = 12 * R * nprog  # = 6*H
+    rowmask = jnp.where((g >= 0) & (g < total), 1.0, 0.0).astype(xcat.dtype)
+    return xcat * rowmask
+
+
+def _kernel_raw(c2, x6_prev, x6_cur, x6_next, w_ref, out_ref):
+    """Raw stem conv rows (no bias / activation): train-mode forward."""
+    R = _ROWS
+    xcat = _xcat_masked(x6_prev, x6_cur, x6_next, 16)
+    w = w_ref[...]
+    wq = [w[0:36], w[36:72], w[72:108]]
+    zrow = jnp.zeros((1, c2), jnp.float32)
+    for oy in range(R):
+        pb = xcat[12 * oy + 4 : 12 * oy + 40, :]  # (36, W2)
+        ys = [
+            jax.lax.dot_general(
+                pb, wq[qi], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for qi in range(3)
+        ]
+        y = (
+            jnp.concatenate([zrow, ys[0][:-1]], axis=0)
+            + ys[1]
+            + jnp.concatenate([ys[2][1:], zrow], axis=0)
+        )
+        out_ref[0, oy] = y.astype(out_ref.dtype)
+
+
+def _wgrad_kernel(c2, x6_prev, x6_cur, x6_next, dz_ref, out_ref):
+    """Stem weight grad: dW[q*36+d, k] = Σ_{b,oy,ox} pb[d, ox_q] dz[ox, k].
+
+    Sequential-grid accumulation into one (128, c2) f32 block (rows
+    0..107 live, rest zero — same tap order as :func:`remap_w6`)."""
+    R = _ROWS
+    xcat = _xcat_masked(x6_prev, x6_cur, x6_next, 16)
+    accs = [jnp.zeros((36, c2), jnp.float32) for _ in range(3)]
+    zrow = jnp.zeros((1, c2), jnp.bfloat16)
+    for oy in range(R):
+        dzr = dz_ref[0, oy].astype(jnp.bfloat16)  # (W2, c2)
+        # fwd: out[ox] = ys0[ox-1] + ys1[ox] + ys2[ox+1]
+        dq = (
+            jnp.concatenate([dzr[1:], zrow], axis=0),  # dys0[j] = dz[j+1]
+            dzr,
+            jnp.concatenate([zrow, dzr[:-1]], axis=0),  # dys2[j] = dz[j-1]
+        )
+        pb = xcat[12 * oy + 4 : 12 * oy + 40, :]  # (36, W2)
+        for qi in range(3):
+            accs[qi] = accs[qi] + jax.lax.dot_general(
+                pb, dq[qi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = jnp.concatenate(
+        accs + [jnp.zeros((128 - 108, c2), jnp.float32)], axis=0
+    )
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += acc
+
+
+def _stem_blockspecs(B, nprog, blk, W2):
+    def idx_prev(b, p):
+        return (b, jnp.maximum(p - 1, 0), 0)
+
+    def idx_cur(b, p):
+        return (b, p, 0)
+
+    def idx_next(b, p):
+        return (b, jnp.minimum(p + 1, nprog - 1), 0)
+
+    return [
+        pl.BlockSpec((1, blk, W2), idx_prev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, W2), idx_cur, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk, W2), idx_next, memory_space=pltpu.VMEM),
+    ]
+
+
+def _stem_raw_xla(x_packed, w108, h: int, w: int):
+    """Differentiable fallback: unremap w108 → plain XLA conv, bf16 out."""
+    B = x_packed.shape[0]
+    c2 = w108.shape[1]
+    w6 = jnp.zeros((6, 6, 3, c2), w108.dtype)
+    for q in (-1, 0, 1):
+        for dy in range(6):
+            for jj in range(6):
+                dx, c = divmod(6 * q + jj + 6, 3)
+                w6 = w6.at[dy, dx, c].set(w108[(q + 1) * 36 + dy * 6 + jj])
+    # bf16 compute to mirror BOTH the stock nn.Conv(dtype=bf16) and the
+    # Pallas kernel's MXU dots (a f32 fallback would diverge from the
+    # hardware path more than from the stock module)
+    x = x_packed.reshape(B, h, w, 3).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        x, w6.astype(jnp.bfloat16), (2, 2), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _stem_train_p(x_packed, w108, h, w):
+    z, _ = _stem_train_p_fwd(x_packed, w108, h, w)
+    return z
+
+
+def _stem_train_p_fwd(x_packed, w108, h, w):
+    B = x_packed.shape[0]
+    c2 = w108.shape[1]
+    W2 = w // 2
+    R = _ROWS
+    nprog = (h // 2) // R
+    x6 = _deinterleave(x_packed, h, W2)
+    wpad = jnp.zeros((128, c2), jnp.float32).at[:108].set(
+        w108.astype(jnp.float32))
+    blk = 12 * R
+    z = pl.pallas_call(
+        functools.partial(_kernel_raw, c2),
+        grid=(B, nprog),
+        in_specs=_stem_blockspecs(B, nprog, blk, W2)
+        + [pl.BlockSpec((128, c2), lambda b, p: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, R, W2, c2), lambda b, p: (b, p, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, h // 2, W2, c2), jnp.bfloat16),
+        interpret=jax.default_backend() != "tpu",
+    )(x6, x6, x6, wpad)
+    return z, (x6, x_packed.shape)
+
+
+def _stem_train_p_bwd(h, w, res, dz):
+    x6, x_shape = res
+    B = x6.shape[0]
+    c2 = dz.shape[-1]
+    W2 = w // 2
+    R = _ROWS
+    nprog = (h // 2) // R
+    blk = 12 * R
+    dwpad = pl.pallas_call(
+        functools.partial(_wgrad_kernel, c2),
+        grid=(B, nprog),
+        in_specs=_stem_blockspecs(B, nprog, blk, W2)
+        + [pl.BlockSpec((1, R, W2, c2), lambda b, p: (b, p, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((128, c2), lambda b, p: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, c2), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(x6, x6, x6, dz)
+    dw = dwpad[:108]
+    # the u8 image takes no gradient (float0 cotangent)
+    dx = np.zeros(x_shape, jax.dtypes.float0)
+    return (dx, dw)
+
+
+_stem_train_p.defvjp(_stem_train_p_fwd, _stem_train_p_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "use_pallas"))
+def stem_conv_train(x_packed, w108, h: int, w: int,
+                    use_pallas: bool | None = None):
+    """Train-mode raw stem conv from the packed image view.
+
+    Args:
+        x_packed: ``(B, H, W*3)`` uint8 packed image view.
+        w108: ``(108, c2)`` — ``remap_w6`` of the stem kernel with any
+            input normalize folded in (e.g. ``remap_w6(k) / 255``).
+        h, w: image height/width (static).
+
+    Returns ``(B, H/2, W/2, c2)`` bf16 PRE-BatchNorm conv output.
+    Differentiable w.r.t. ``w108`` only (the backward runs a Pallas wgrad
+    kernel on TPU); the image input takes no gradient.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas or (h // 2) % _ROWS or w % 2:
+        return _stem_raw_xla(x_packed, w108, h, w)
+    return _stem_train_p(x_packed, w108, h, w)
+
+
 def fold_stem_params(kernel, bn_scale, bn_bias, bn_mean, bn_var,
                      eps: float = 1e-3):
     """Stem Conv+BN params → (w108, bias) for :func:`fused_stem`.
