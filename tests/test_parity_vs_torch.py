@@ -45,6 +45,29 @@ def test_forward_decode_parity(parity):
     assert fwd["sig"] < 1e-5  # sigmoid outputs (measured 6.0e-8)
 
 
+def test_reference_imports_scrubbed(parity):
+    """run_parity leaves no reference modules behind (VERDICT r3 weak #2).
+
+    After the harness, /root/reference must be off sys.path and every
+    cached module must resolve inside this repo — otherwise a later
+    ``import train``/``import utils`` in the same pytest process silently
+    binds the REFERENCE's code.
+    """
+    import importlib
+
+    ref = os.path.abspath(pvt.REFERENCE)
+    assert pvt.REFERENCE not in sys.path
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None) or ""
+        assert not (f and os.path.abspath(f).startswith(ref + os.sep)), \
+            f"reference module still cached: {name} -> {f}"
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    for name in ("train", "val"):
+        mod = importlib.import_module(name)
+        assert os.path.abspath(mod.__file__).startswith(repo + os.sep), \
+            f"{name} resolves outside the repo: {mod.__file__}"
+
+
 def test_detection_parity(parity):
     """Same keep set; per-detection fields match the reference NMS."""
     det = parity["detections"]

@@ -160,7 +160,32 @@ def install_reference(reference: str = REFERENCE) -> None:
         sys.modules["utils.nms_rotated.nms_rotated_ext"] = ext
 
     if reference not in sys.path:
-        sys.path.insert(0, reference)
+        # APPEND, never prepend: the repo's own top-level modules
+        # (train/val/detect/export at /root/repo) must keep winning any
+        # name collision; the reference only needs to resolve names the
+        # repo does not define (top-level ``models``/``utils``).
+        sys.path.append(reference)
+
+
+def remove_reference(reference: str = REFERENCE) -> None:
+    """Undo :func:`install_reference`: scrub ``sys.path`` + ``sys.modules``.
+
+    Without this, any later ``import models``/``import utils`` in the same
+    process silently binds the REFERENCE's module (VERDICT r3 weak #2 —
+    reproduced: ``pytest tests/test_parity_vs_torch.py tests/test_shards.py``
+    failed with the reference run() signature). Purges every module whose
+    ``__file__`` lives under the reference tree, plus the injected
+    ``nms_rotated_ext`` stub; the dependency stubs (pkg_resources etc.) are
+    functional fallbacks and stay.
+    """
+    while reference in sys.path:
+        sys.path.remove(reference)
+    prefix = os.path.abspath(reference) + os.sep
+    for name, mod in list(sys.modules.items()):
+        f = getattr(mod, "__file__", None) or ""
+        if (f and os.path.abspath(f).startswith(prefix)) or \
+                name == "utils.nms_rotated.nms_rotated_ext":
+            del sys.modules[name]
 
 
 def load_reference_model(cfg: str = "yolov5n.yaml", nc: int = 15,
@@ -316,7 +341,18 @@ def match_detections(ref_dets: np.ndarray, our_dets: np.ndarray):
 def run_parity(cfg: str = "yolov5n.yaml", nc: int = 15, imgsz: int = 256,
                batch: int = 2, seed: int = 0, conf_thres: float = 0.25,
                iou_thres: float = 0.45):
-    """Full harness → dict of max deviations (forward, decode, detections)."""
+    """Full harness → dict of max deviations (forward, decode, detections).
+
+    Always scrubs the reference imports on exit (remove_reference) so the
+    calling process's module namespace is unchanged.
+    """
+    try:
+        return _run_parity(cfg, nc, imgsz, batch, seed, conf_thres, iou_thres)
+    finally:
+        remove_reference()
+
+
+def _run_parity(cfg, nc, imgsz, batch, seed, conf_thres, iou_thres):
     tm = load_reference_model(cfg, nc=nc, seed=seed)
     rng = np.random.default_rng(seed)
     x = rng.uniform(0.0, 1.0, (batch, 3, imgsz, imgsz)).astype(np.float32)
