@@ -9,7 +9,9 @@ import pytest
 from yolov5_obb_tpu.models.yolo import build_model, probe_strides
 
 CONFIG_DIR = Path(__file__).parent.parent / "yolov5_obb_tpu" / "models" / "configs"
-ALL_CONFIGS = sorted(p.name for p in CONFIG_DIR.glob("*.yaml"))
+# anchors.yaml is a data asset (anchor-set lists), not a buildable model
+ALL_CONFIGS = sorted(
+    p.name for p in CONFIG_DIR.glob("*.yaml") if p.name != "anchors.yaml")
 
 
 @pytest.mark.parametrize("cfg", ALL_CONFIGS)
@@ -35,6 +37,32 @@ def test_config_builds_and_probes(cfg):
     )
     for o, s in zip(outs, meta.strides):
         assert o.shape == (2, sz // int(s), sz // int(s), meta.na, meta.no)
+
+
+def test_anchors_yaml_asset(tmp_path):
+    """anchors.yaml sets are well-formed and usable as a model's anchors
+    (reference models/hub/anchors.yaml)."""
+    import yaml
+
+    sets = yaml.safe_load((CONFIG_DIR / "anchors.yaml").read_text())
+    assert set(sets) == {
+        "anchors_p5_640", "anchors_p6_640", "anchors_p6_1280",
+        "anchors_p6_1920", "anchors_p7_640", "anchors_p7_1280",
+        "anchors_p7_1920",
+    }
+    for name, rows in sets.items():
+        nl = int(name.split("_p")[1][0])- 2  # p5→3, p6→4, p7→5 levels
+        assert len(rows) == nl
+        assert all(len(r) == 6 and all(v > 0 for v in r) for r in rows)
+
+    # a set drops into a model yaml's anchors key and builds
+    d = yaml.safe_load((CONFIG_DIR / "yolov5n.yaml").read_text())
+    d["anchors"] = sets["anchors_p5_640"]
+    f = tmp_path / "with_asset_anchors.yaml"
+    f.write_text(yaml.safe_dump(d))
+    _, meta, _ = build_model(str(f), nc=15)
+    assert meta.nl == 3 and meta.na == 3
+    assert np.allclose(meta.anchors_px[0, 0], [10, 13])
 
 
 def test_integer_anchor_spec(tmp_path):
