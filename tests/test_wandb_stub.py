@@ -44,12 +44,27 @@ class _FakeRun:
         self.finished = True
 
 
+class _FakeTable:
+    def __init__(self, columns=()):
+        self.columns, self.rows = list(columns), []
+
+    def add_data(self, *row):
+        self.rows.append(row)
+
+
+class _FakeImage:
+    def __init__(self, data, **kw):
+        self.shape = getattr(data, "shape", None)
+
+
 @pytest.fixture
 def fake_wandb(monkeypatch):
     mod = types.ModuleType("wandb")
     run = _FakeRun()
     mod.init = lambda **kw: run
     mod.Artifact = _FakeArtifact
+    mod.Table = _FakeTable
+    mod.Image = _FakeImage
 
     class _Api:
         def artifact(self, spec):
@@ -83,6 +98,45 @@ def test_wandb_logger_branches(tmp_path, fake_wandb):
     assert model_art.metadata["epoch"] == 0
     assert fake_wandb.finished
     assert (tmp_path / "results.csv").exists()  # csv still written
+
+
+def test_wandb_val_prediction_table(tmp_path, fake_wandb):
+    """Per-epoch val-image prediction Table (reference wandb_utils.py:138-252)
+    renders OBB polygons and logs one row per image."""
+    import cv2
+    import numpy as np
+
+    from yolov5_obb_tpu.utils.loggers import Loggers
+
+    img_path = tmp_path / "img0.png"
+    cv2.imwrite(str(img_path), np.zeros((64, 64, 3), np.uint8))
+    dets = [{
+        "path": str(img_path),
+        "polys": np.array([[10, 10, 30, 10, 30, 25, 10, 25],
+                           [5, 40, 25, 35, 28, 47, 8, 52]], np.float32),
+        "conf": np.array([0.9, 0.6], np.float32),
+        "cls": np.array([0, 3], np.float32),
+        "hw": (64, 64),
+    }, {"path": str(tmp_path / "missing.png"), "polys": np.zeros((0, 8)),
+        "conf": np.zeros(0), "cls": np.zeros(0), "hw": (64, 64)}]
+
+    lg = Loggers(tmp_path, include=("wandb",))
+    lg.log_val_predictions(epoch=3, detections=dets,
+                           names=["plane", "b", "c", "ship"])
+    assert len(fake_wandb.logged) == 1
+    step, row = fake_wandb.logged[0]
+    assert step == 3
+    table = row["val/predictions"]
+    assert table.columns == ["epoch", "id", "prediction", "n_det", "avg_conf"]
+    assert len(table.rows) == 1  # unreadable image skipped
+    ep, iid, im, n_det, avg = table.rows[0]
+    assert (ep, iid, n_det) == (3, "img0", 2)
+    assert im.shape == (64, 64, 3)
+    assert abs(avg - 0.75) < 1e-6
+
+    # inactive wandb → silent no-op
+    lg2 = Loggers(tmp_path, include=())
+    lg2.log_val_predictions(0, dets, ["a"])
 
 
 def test_wandb_artifact_resume_resolution(fake_wandb):

@@ -368,6 +368,10 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
                 max_images=opt.val_images,
             )
             callbacks.run("on_val_end", metrics=metrics)
+            # per-epoch W&B val-prediction Table (reference
+            # wandb_utils.py:138-252); no-op unless wandb is active
+            loggers.log_val_predictions(
+                epoch, metrics.get("detections", ()), val_ds.names)
         fit = fitness(metrics["mp"], metrics["mr"], metrics["map50"], metrics["map"])
         if n_proc > 1:
             fit = broadcast_scalar(fit)

@@ -82,6 +82,37 @@ class Loggers:
         aliases = ["latest", f"epoch{epoch}"] + (["best"] if best else [])
         self.wandb.log_artifact(art, aliases=aliases)
 
+    def log_val_predictions(self, epoch: int, detections, names,
+                            max_images: int = 16):
+        """Per-epoch W&B Table of validation images with predicted OBBs
+        (reference utils/loggers/wandb/wandb_utils.py:138-252,379-400
+        val/prediction Tables). Redesigned OBB-native: W&B's box overlays
+        are axis-aligned only, so the rotated polygons are rendered onto
+        the image instead. ``detections`` is evaluate()'s per-image list
+        ({path, polys, conf, cls, hw}). No-op when wandb is inactive.
+        """
+        if self.wandb is None or not detections:
+            return
+        import cv2
+        import numpy as np
+        import wandb
+
+        from .plots import annotate_detections
+
+        table = wandb.Table(
+            columns=["epoch", "id", "prediction", "n_det", "avg_conf"])
+        for d in detections[:max_images]:
+            img = cv2.imread(str(d["path"]))
+            if img is None:
+                continue
+            conf = np.asarray(d["conf"], np.float32)
+            annotate_detections(img, d["polys"], conf, d["cls"], list(names))
+            table.add_data(epoch, Path(d["path"]).stem,
+                           wandb.Image(img[..., ::-1]),  # BGR → RGB
+                           int(len(conf)),
+                           float(conf.mean()) if len(conf) else 0.0)
+        self.wandb.log({"val/predictions": table}, step=epoch)
+
     def log_dataset_artifact(self, data_yaml):
         """Version the dataset yaml (+label dir if local) as a W&B artifact
         (reference wandb_utils.py:192-238). No-op when wandb is inactive."""
