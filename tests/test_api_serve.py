@@ -35,6 +35,52 @@ def test_api_single_and_batch(obb_model, tmp_path):
     assert len(list((tmp_path / "render").glob("*.png"))) == 3 or out is not None
 
 
+def test_api_input_breadth(obb_model, tmp_path, monkeypatch):
+    """URL / PIL / torch / grayscale inputs (reference AutoShape,
+    models/common.py:439-475) produce the same detections as the ndarray
+    path for the same pixels."""
+    import cv2
+
+    rng = np.random.default_rng(1)
+    bgr = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    ref = obb_model(bgr)
+
+    def same(res):
+        assert len(res.polys) == 1
+        np.testing.assert_allclose(
+            np.asarray(res.polys[0]), np.asarray(ref.polys[0]), atol=1e-4)
+
+    # file path
+    p = tmp_path / "img.png"
+    cv2.imwrite(str(p), bgr)
+    same(obb_model(str(p)))
+
+    # URL (http fetch monkeypatched — zero-egress container)
+    png_bytes = cv2.imencode(".png", bgr)[1].tobytes()
+
+    class _Resp:
+        def read(self):
+            return png_bytes
+
+    import urllib.request as _ur
+    monkeypatch.setattr(_ur, "urlopen", lambda url: _Resp())
+    same(obb_model("https://example.com/img.png?raw=1"))
+
+    # PIL (RGB convention)
+    PIL = pytest.importorskip("PIL.Image")
+    same(obb_model(PIL.fromarray(bgr[..., ::-1])))
+
+    # torch tensors: HWC uint8 and CHW float in [0,1]
+    torch = pytest.importorskip("torch")
+    same(obb_model(torch.from_numpy(bgr.copy())))
+    same(obb_model(torch.from_numpy(
+        bgr.transpose(2, 0, 1).astype(np.float32) / 255.0)))
+
+    # grayscale ndarray broadcasts to 3 channels and runs
+    res = obb_model(bgr[..., 0])
+    assert len(res.polys) == 1
+
+
 def test_serve_http_roundtrip(obb_model):
     import cv2
     from http.server import ThreadingHTTPServer

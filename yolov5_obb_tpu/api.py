@@ -162,16 +162,45 @@ class OBBModel:
         )
 
     def _to_bgr(self, im):
+        """Any reference-AutoShape input form → (BGR uint8 HWC, path|None).
+
+        Accepts filename/Path, http(s) URL, PIL.Image, torch tensor
+        (CHW or HWC, uint8 or float), and ndarray (BGR, cv2 convention) —
+        reference models/common.py:439-475.
+        """
         import cv2
 
+        if isinstance(im, str) and im.startswith(("http://", "https://")):
+            # URL input (reference common.py:446-448): fetch and decode
+            # in memory — no temp file
+            from urllib.request import urlopen
+
+            data = np.frombuffer(urlopen(im).read(), np.uint8)
+            img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError(f"undecodable image data from {im}")
+            return img, im.split("?")[0]
         if isinstance(im, (str, Path)):
             img = cv2.imread(str(im))
             if img is None:
                 raise FileNotFoundError(im)
             return img, str(im)
+        if im.__class__.__module__.split(".")[0] == "PIL":
+            # PIL images are RGB; flip to the BGR pipeline convention
+            arr = np.asarray(im.convert("RGB"))[..., ::-1]
+            return np.ascontiguousarray(arr), getattr(im, "filename", None)
+        if type(im).__module__.split(".")[0] == "torch":
+            im = im.detach().cpu().numpy()
         arr = np.asarray(im)
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, -1)
+        elif arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] > 3:
+            arr = arr.transpose(1, 2, 0)  # CHW (torch convention) → HWC
+            if arr.shape[-1] == 1:
+                arr = np.repeat(arr, 3, -1)
+        if arr.dtype != np.uint8:
+            scale = 255.0 if float(arr.max(initial=0.0)) <= 1.0 else 1.0
+            arr = np.clip(np.rint(arr * scale), 0, 255).astype(np.uint8)
         return arr[..., :3].astype(np.uint8), None
 
     def __call__(self, inputs):
