@@ -221,7 +221,8 @@ class PackedStem(nn.Module):
         B, H, W3 = x_packed.shape
         if train:
             w108 = remap_w6(kernel) / 255.0  # fold the input normalize
-            z = stem_conv_train(x_packed, w108, H, W3 // 3)
+            z = stem_conv_train(x_packed, w108, H, W3 // 3,
+                                out_dtype=self.dtype)
             z = checkpoint_name(z, "conv_out")
             z = nn.BatchNorm(
                 use_running_average=False,

@@ -339,8 +339,14 @@ def _stem_blockspecs(B, nprog, blk, W2):
     ]
 
 
-def _stem_raw_xla(x_packed, w108, h: int, w: int):
-    """Differentiable fallback: unremap w108 → plain XLA conv, bf16 out."""
+def _stem_raw_xla(x_packed, w108, h: int, w: int, out_dtype=jnp.bfloat16):
+    """Differentiable fallback: unremap w108 → plain XLA conv.
+
+    Computes in ``out_dtype``: bf16 mirrors BOTH the stock
+    nn.Conv(dtype=bf16) and the Pallas kernel's MXU dots; f32 gives the
+    f32-everywhere model elementwise-exact train math (test_packed_train's
+    f32 grad-parity A/B).
+    """
     B = x_packed.shape[0]
     c2 = w108.shape[1]
     w6 = jnp.zeros((6, 6, 3, c2), w108.dtype)
@@ -349,15 +355,12 @@ def _stem_raw_xla(x_packed, w108, h: int, w: int):
             for jj in range(6):
                 dx, c = divmod(6 * q + jj + 6, 3)
                 w6 = w6.at[dy, dx, c].set(w108[(q + 1) * 36 + dy * 6 + jj])
-    # bf16 compute to mirror BOTH the stock nn.Conv(dtype=bf16) and the
-    # Pallas kernel's MXU dots (a f32 fallback would diverge from the
-    # hardware path more than from the stock module)
-    x = x_packed.reshape(B, h, w, 3).astype(jnp.bfloat16)
+    x = x_packed.reshape(B, h, w, 3).astype(out_dtype)
     y = jax.lax.conv_general_dilated(
-        x, w6.astype(jnp.bfloat16), (2, 2), [(2, 2), (2, 2)],
+        x, w6.astype(out_dtype), (2, 2), [(2, 2), (2, 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y.astype(jnp.bfloat16)
+    return y.astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -420,9 +423,11 @@ def _stem_train_p_bwd(h, w, res, dz):
 _stem_train_p.defvjp(_stem_train_p_fwd, _stem_train_p_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "use_pallas", "out_dtype"))
 def stem_conv_train(x_packed, w108, h: int, w: int,
-                    use_pallas: bool | None = None):
+                    use_pallas: bool | None = None,
+                    out_dtype=jnp.bfloat16):
     """Train-mode raw stem conv from the packed image view.
 
     Args:
@@ -430,15 +435,18 @@ def stem_conv_train(x_packed, w108, h: int, w: int,
         w108: ``(108, c2)`` — ``remap_w6`` of the stem kernel with any
             input normalize folded in (e.g. ``remap_w6(k) / 255``).
         h, w: image height/width (static).
+        out_dtype: compute/output dtype; the Pallas kernel is bf16-only,
+            so f32 models take the XLA fallback.
 
-    Returns ``(B, H/2, W/2, c2)`` bf16 PRE-BatchNorm conv output.
+    Returns ``(B, H/2, W/2, c2)`` PRE-BatchNorm conv output.
     Differentiable w.r.t. ``w108`` only (the backward runs a Pallas wgrad
     kernel on TPU); the image input takes no gradient.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (jax.default_backend() == "tpu"
+                      and out_dtype == jnp.bfloat16)
     if not use_pallas or (h // 2) % _ROWS or w % 2:
-        return _stem_raw_xla(x_packed, w108, h, w)
+        return _stem_raw_xla(x_packed, w108, h, w, out_dtype)
     return _stem_train_p(x_packed, w108, h, w)
 
 
