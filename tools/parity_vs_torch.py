@@ -383,6 +383,105 @@ def _run_parity(cfg, nc, imgsz, batch, seed, conf_thres, iou_thres):
     return dict(forward=fwd, detections=det, n_det=n_ref, n_pairs=n_pairs)
 
 
+def run_parity_tta(cfg: str = "yolov5n.yaml", nc: int = 15, imgsz: int = 256,
+                   batch: int = 2, seed: int = 0, conf_thres: float = 0.35,
+                   iou_thres: float = 0.45):
+    """TTA parity: reference ``Model(x, augment=True)`` vs our stack driven
+    through the same recipe (reference models/yolo.py:149-210).
+
+    The reference's augmented forward is scales [1, .83, .67] with an lr
+    flip on the middle scale: each input goes through ``scale_img``
+    (resize to ``int(h*ratio)`` then bottom/right pad to a /32 multiple
+    with 0.447, reference utils/torch_utils.py:239-249), predictions are
+    de-scaled by the NOMINAL ratio and de-flipped with the original width,
+    and ``_clip_augmented`` drops the finest level's large-object tail and
+    the coarsest level's small-object head — all replicated here, including
+    the reference's unfixed theta flip (our production ``predict_tta``
+    re-indexes the CSL bins on lr flips; that deliberate divergence is
+    disabled for this A/B by comparing in reference semantics).
+
+    Both legs consume the SAME torch-resized inputs so the parity object is
+    the network + decode + NMS, not the interpolation op.  Returns the same
+    dict shape as :func:`run_parity`.
+
+    ``conf_thres`` defaults above the non-TTA harness's 0.25: the constant
+    0.447 ``scale_img`` padding makes whole grid regions emit bit-identical
+    candidate confidences (~0.263 under this seed), and greedy suppression
+    among exact ties is order-undefined in BOTH stacks — set parity is only
+    well-posed above the tie cluster.
+    """
+    try:
+        return _run_parity_tta(cfg, nc, imgsz, batch, seed, conf_thres,
+                               iou_thres)
+    finally:
+        remove_reference()
+
+
+def _run_parity_tta(cfg, nc, imgsz, batch, seed, conf_thres, iou_thres):
+    import torch
+    import torch.nn.functional as F
+
+    tm = load_reference_model(cfg, nc=nc, seed=seed)
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.0, 1.0, (batch, 3, imgsz, imgsz)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref, _ = tm(torch.from_numpy(x), augment=True)
+    z_ref = z_ref.numpy()
+
+    model, variables, meta = build_ours_from_torch(tm, cfg, nc=nc)
+
+    H = W = imgsz
+    scales, flips = (1.0, 0.83, 0.67), (None, "lr", None)
+    zs = []
+    for si, fi in zip(scales, flips):
+        xi = x[:, :, :, ::-1] if fi == "lr" else x
+        if si != 1.0:
+            s = (int(H * si), int(W * si))
+            t = F.interpolate(torch.from_numpy(np.ascontiguousarray(xi)),
+                              size=s, mode="bilinear", align_corners=False)
+            import math
+            hp = math.ceil(H * si / 32) * 32
+            wp = math.ceil(W * si / 32) * 32
+            t = F.pad(t, [0, wp - s[1], 0, hp - s[0]], value=0.447)
+            xi = t.numpy()
+        zi = run_ours(model, variables, meta, np.ascontiguousarray(xi))
+        zi[..., :4] /= si  # nominal-ratio de-scale (reference yolo.py:185)
+        if fi == "lr":
+            zi[..., 0] = W - zi[..., 0]
+        zs.append(zi)
+
+    # _clip_augmented (reference yolo.py:200-210); rows are already in the
+    # reference's (na, ny, nx) order via run_ours, so the same index ranges
+    # drop the same logical anchors
+    nl = meta.nl
+    g = sum(4 ** k for k in range(nl))
+    i0 = (zs[0].shape[1] // g) * 1
+    zs[0] = zs[0][:, :-i0]
+    iN = (zs[-1].shape[1] // g) * (4 ** (nl - 1))
+    zs[-1] = zs[-1][:, iN:]
+    z_ours = np.concatenate(zs, axis=1)
+
+    assert z_ref.shape == z_ours.shape, (z_ref.shape, z_ours.shape)
+    fwd = dict(
+        xy=float(np.abs(z_ref[..., :2] - z_ours[..., :2]).max()),
+        wh=float(np.abs(z_ref[..., 2:4] - z_ours[..., 2:4]).max()),
+        sig=float(np.abs(z_ref[..., 4:] - z_ours[..., 4:]).max()),
+    )
+
+    ref_out = run_reference_nms(z_ref, conf_thres, iou_thres)
+    cls_conf = z_ref[..., 5:5 + nc] * z_ref[..., 4:5]
+    n_pairs = int(((cls_conf > conf_thres)
+                   & (z_ref[..., 4:5] > conf_thres)).sum(axis=(1, 2)).max())
+    assert n_pairs < 1024, f"{n_pairs} candidate pairs overflow max_candidates"
+    our_out = run_ours_nms(z_ours, nc, conf_thres, iou_thres,
+                           max_candidates=1024)
+    per_img = [match_detections(r, o) for r, o in zip(ref_out, our_out)]
+    det = {k: max(m[k] for m in per_img) for k in per_img[0]}
+    return dict(forward=fwd, detections=det,
+                n_det=[len(o) for o in ref_out], n_pairs=n_pairs)
+
+
 def main():
     import json
 

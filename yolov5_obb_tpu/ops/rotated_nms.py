@@ -316,10 +316,21 @@ def non_max_suppression_obb(
     max_det: int = 1500,
     multi_label: bool = False,
     agnostic: bool = False,
-    approx_topk: bool = True,
+    approx_topk: bool = False,
     classes: tuple | None = None,
 ):
     """Batched decode + rotated NMS of raw head outputs.
+
+    ``approx_topk`` (``jax.lax.approx_max_k`` candidate selection) is an
+    opt-in bench mode, NOT the default: measured on v5e hardware at the
+    realistic bench regime (yolov5m@1024, ~430 dets/img, conf 0.25,
+    max_candidates=4096) it silently dropped ~12% of final detections
+    (18086 vs 20581 over 48 images, worst image -340) because the
+    conf-thresholded candidate array is sparse — approx_max_k's
+    bin-reduction collides several true candidates into one bin and keeps
+    only the bin max (tools/check_approx_topk_tpu.py). Exact ``top_k``
+    matches the reference's exact candidate set (general.py:784-827) and
+    costs ~1.3 ms/img more at that density.
 
     Args:
         prediction: ``(B, n_anchors, 5+nc+180)`` decoded sigmoid outputs
@@ -384,7 +395,7 @@ def non_max_suppression_from_maps(
     max_det: int = 1500,
     multi_label: bool = False,
     agnostic: bool = False,
-    approx_topk: bool = True,
+    approx_topk: bool = False,
     classes: tuple | None = None,
     stage: str = "full",
 ):
