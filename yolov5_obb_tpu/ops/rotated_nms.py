@@ -283,6 +283,36 @@ def _compact_dets(rb, scores, cls_id, keep, max_det: int):
     return out, num
 
 
+def _topk_pairs_exact(cc_i, conf_thres: float, k: int, nc: int):
+    """Exact top-k over the thresholded multi-label ``(box, cls)`` pairs via
+    a box prefilter — two small sorts instead of one ``(N*nc,)`` sort.
+
+    Let τ be the k-th largest thresholded pair confidence.  Any pair
+    ``(b, c)`` with conf ≥ τ has per-box best ``max_c cc[b, c] ≥ τ``, and at
+    most k boxes can have best ≥ τ (each contributes at least one of the k
+    pairs ≥ τ), so the exact top-k boxes by best confidence contain every
+    box of every top-k pair; re-ranking their ``(k, nc)`` pairs is then
+    exact.  Ties at τ resolve by selector order, exactly as a single-stage
+    ``top_k``.  The reference's obj gate (general.py:784-798) is implied:
+    ``cc = cls_sigmoid * obj ≤ obj``, so ``cc > conf ⟹ obj > conf``.
+
+    Sort sizes: N + k·nc instead of N·nc — at the production shape
+    (N=64512, nc=15, k=4096) ~8x less sort work on the TPU's
+    sort-based ``top_k``.
+
+    Returns ``(scores, box_idx, cls_id)``, each ``(min(k, kb*nc),)``.
+    """
+    n = cc_i.shape[0]
+    kb = min(k, n)
+    best = jnp.max(cc_i, axis=-1)
+    gate = jnp.where(best > conf_thres, best, 0.0)
+    _, bidx = jax.lax.top_k(gate, kb)
+    sub = cc_i[bidx]  # (kb, nc)
+    sub = jnp.where(sub > conf_thres, sub, 0.0)
+    scores, idx2 = jax.lax.top_k(sub.reshape(-1), min(k, kb * nc))
+    return scores, bidx[idx2 // nc], idx2 % nc
+
+
 def _apply_class_filter(cls_conf, classes, nc: int):
     """Zero the confidence of classes outside ``classes`` (a static tuple of
     kept ids) — reference ``--classes`` filter (general.py:833-835) applied
@@ -356,7 +386,10 @@ def non_max_suppression_obb(
     topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
 
     def one_image(boxes_i, cls_conf_i, theta_logits_i, obj_i):
-        if multi_label:
+        if multi_label and not approx_topk:
+            scores, box_idx, cls_id = _topk_pairs_exact(
+                cls_conf_i, conf_thres, k, nc)
+        elif multi_label:
             flat = jnp.where(
                 (cls_conf_i > conf_thres) & (obj_i[:, None] > conf_thres),
                 cls_conf_i,
@@ -493,11 +526,17 @@ def non_max_suppression_from_maps(
         cls_conf = jnp.concatenate(conf_l, 1)
 
         def one_image(cc_i, obj_i, x_i, y_i, w_i, h_i, th_i):
-            flat = jnp.where(
-                (cc_i > conf_thres) & (obj_i[:, None] > conf_thres), cc_i, 0.0
-            ).reshape(-1)
-            scores, idx = topk(flat, k)
-            return finish(scores, idx // nc, idx % nc,
+            if approx_topk:  # bench-only legacy single-stage selection
+                flat = jnp.where(
+                    (cc_i > conf_thres) & (obj_i[:, None] > conf_thres),
+                    cc_i, 0.0,
+                ).reshape(-1)
+                scores, idx = topk(flat, k)
+                box_idx, cls_id = idx // nc, idx % nc
+            else:
+                scores, box_idx, cls_id = _topk_pairs_exact(
+                    cc_i, conf_thres, k, nc)
+            return finish(scores, box_idx, cls_id,
                           x_i, y_i, w_i, h_i, th_i)
 
         return jax.vmap(one_image)(cls_conf, obj, xs, ys, ws, hs, thidx)
