@@ -147,3 +147,36 @@ def test_wandb_artifact_resume_resolution(fake_wandb):
     # artifact URIs resolve to the (fake) download dir
     got = resolve_wandb_artifact("wandb-artifact://me/proj/run_model:best")
     assert got == "/tmp/fake_artifact/me/proj/run_model:best"
+
+
+def test_sweep_entry_point(fake_wandb, monkeypatch):
+    """tools/sweep.py (reference utils/loggers/wandb/sweep.py counterpart):
+    wandb.config splits into driver options + a hyp override for train.run."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import sweep as sweep_mod
+    import train as train_mod
+
+    cfg = types.SimpleNamespace(_items={
+        "data": "/tmp/ds/data.yaml", "batch_size": 4, "epochs": 2,
+        "imgsz": 128, "lr0": 0.02, "theta": 1.5, "csl_radius": 1,
+    })
+    _sys.modules["wandb"].config = cfg
+
+    calls = {}
+
+    def fake_run(opt, hyp_override=None, callbacks=None):
+        calls["opt"], calls["hyp"] = opt, hyp_override
+        return {"fitness": 0.0}
+
+    monkeypatch.setattr(train_mod, "run", fake_run)
+    sweep_mod.sweep()
+
+    opt, hyp = calls["opt"], calls["hyp"]
+    assert (opt.data, opt.batch_size, opt.epochs, opt.imgsz) == (
+        "/tmp/ds/data.yaml", 4, 2, 128)
+    assert opt.nosave and opt.wandb
+    assert hyp == {"lr0": 0.02, "theta": 1.5, "csl_radius": 1}

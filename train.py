@@ -48,7 +48,7 @@ from yolov5_obb_tpu.utils.general import (
 from yolov5_obb_tpu.utils.metrics import fitness
 
 
-def parse_opt():
+def parse_opt(args=None, known: bool = False):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", type=str, default="yolov5n.yaml")
     p.add_argument("--data", type=str, required=True)
@@ -106,7 +106,9 @@ def parse_opt():
     p.add_argument("--project", type=str, default="runs/train")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
-    return p.parse_args()
+    # known=True: tolerate extra argv (the W&B sweep agent appends
+    # --key=value pairs; tools/sweep.py maps them via wandb.config instead)
+    return p.parse_known_args(args)[0] if known else p.parse_args(args)
 
 
 def run(opt, hyp_override: dict | None = None, callbacks=None):
