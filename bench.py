@@ -17,7 +17,16 @@ import os
 
 BASELINE_MS = 11.3
 BATCH = int(os.environ.get("BENCH_BATCH", 16))  # driver runs the default b16
-IMGSZ = 1024
+IMGSZ = int(os.environ.get("BENCH_IMGSZ", 1024))
+# Candidate-selection cap (per image). The default is sized for the
+# realistic density regime; BENCH_MAXC=1024 is the b1 latency knob.
+MAXC = int(os.environ.get("BENCH_MAXC", 2048))
+# BENCH_WEIGHTS=<orbax dir> (+ optional BENCH_CFG) benches a real trained
+# checkpoint instead of the density-tuned random weights: the detection
+# density is then whatever the training produced — fully honest NMS graph
+# (tools/golden_e2e.py produces such checkpoints).
+WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
+CFG = os.environ.get("BENCH_CFG", "yolov5m.yaml")
 # Target detections/img at conf 0.25. Fresh random weights detect nothing
 # (focal bias priors put obj conf at ~1e-3), which leaves the NMS
 # suppression graph empty — the greedy while_loop converges in one sweep
@@ -37,7 +46,7 @@ def main():
 
     packed = jax.default_backend() == "tpu"
     model, variables, meta = create_model(
-        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
+        CFG, nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
         packed_stem=packed,
     )
     from flax.core import unfreeze
@@ -46,7 +55,15 @@ def main():
 
     det_name = f"m{len(model.specs) - 1}"
     no, na, nc, nl = meta.no, meta.na, meta.nc, meta.nl
-    if DENSITY:
+    if WEIGHTS:
+        from yolov5_obb_tpu.utils.checkpoint import (
+            load_weights,
+            restore_model_meta,
+        )
+
+        variables, wmeta = load_weights(WEIGHTS)
+        restore_model_meta(meta, wmeta)
+    if DENSITY and not WEIGHTS:
         # spread the cls biases so conf = obj*cls can clear 0.25 for some
         # (anchor, class) pairs (same recipe as tools/parity_vs_torch.py)
         v = unfreeze(variables)
@@ -77,7 +94,7 @@ def main():
         return {**v, "params": params}
     predict = make_predict_fn(
         model, meta, conf_thres=0.25, iou_thres=0.45, max_det=1500,
-        multi_label=False, max_candidates=2048,
+        multi_label=False, max_candidates=MAXC,
     )
 
     rng = np.random.default_rng(0)
@@ -102,7 +119,15 @@ def main():
     jax.block_until_ready(xs)
 
     dets_per_img = 0.0
-    if DENSITY:
+    if WEIGHTS:
+        @jax.jit
+        def count_dets0(v, x):
+            _, num = predict(v, x)
+            return jnp.mean(num.astype(jnp.float32))
+
+        dets_per_img = float(count_dets0(variables, xs[0]))
+        print(f"trained weights: {dets_per_img:.0f} dets/img")
+    if DENSITY and not WEIGHTS:
         @jax.jit
         def count_dets(v, x, delta):
             _, num = predict(apply_obj_delta(v, delta), x)
@@ -164,7 +189,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"yolov5m_b{BATCH}_1024_infer_nms_ms_per_img",
+                "metric": f"yolov5m_b{BATCH}_{IMGSZ}_infer_nms_ms_per_img",
                 "value": round(ms_per_img, 3),
                 "unit": "ms/img",
                 "vs_baseline": round(BASELINE_MS / ms_per_img, 3),

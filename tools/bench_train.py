@@ -40,6 +40,9 @@ def main():
     # PACKED=0 disables the train-mode packed-stem Pallas kernels (A/B)
     packed = bool(int(os.environ.get(
         "PACKED", "1" if jax.default_backend() == "tpu" else "0")))
+    # mirror train.py's default: bf16 BN/SiLU on TPU (YOLO_BN_HALF=0 A/Bs)
+    os.environ.setdefault(
+        "YOLO_BN_HALF", "1" if jax.default_backend() == "tpu" else "0")
     model, variables, meta = create_model(
         "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
         packed_stem=packed,

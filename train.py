@@ -14,6 +14,7 @@ all-reduce).  Checkpoints are Orbax trees under runs/train/exp*/.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from pathlib import Path
 
@@ -84,6 +85,13 @@ def parse_opt(args=None, known: bool = False):
                         "(default: auto — on for TPU backends)")
     p.add_argument("--no-packed-stem", dest="packed_stem",
                    action="store_false")
+    p.add_argument("--bn-half", dest="bn_half", default=None,
+                   action="store_true",
+                   help="bfloat16 BatchNorm-normalize/SiLU elementwise math"
+                        " on the train path (batch stats stay f32); +8.6%%"
+                        " step throughput on TPU (default: auto — on for"
+                        " TPU backends)")
+    p.add_argument("--no-bn-half", dest="bn_half", action="store_false")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
@@ -197,6 +205,13 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
     packed = getattr(opt, "packed_stem", None)
     if packed is None:
         packed = jax.default_backend() == "tpu"
+    # bf16 BN/SiLU elementwise math (stats stay f32) — +8.6% train
+    # throughput on TPU (tools/bench_train.py A/B); see layers._bn_dtype
+    bn_half = getattr(opt, "bn_half", None)
+    if bn_half is None:
+        bn_half = jax.default_backend() == "tpu"
+    if bn_half:
+        os.environ["YOLO_BN_HALF"] = "1"
     model, variables, meta = create_model(
         opt.cfg, nc=nc, dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
         imgsz=opt.imgsz, packed_stem=packed,
@@ -286,8 +301,6 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
 
     # wandb is opt-in (flag or API key in env) — wandb.init with the package
     # installed but no login would hang training on an interactive prompt
-    import os
-
     use_wandb = getattr(opt, "wandb", False) or bool(os.environ.get("WANDB_API_KEY"))
     include = ("csv", "tb", "wandb") if use_wandb else ("csv", "tb")
     # host-0 only (the reference's rank-gated Loggers, train.py:86-95)

@@ -40,15 +40,21 @@ def make_divisible(x, divisor=8):
 _FUSED_DOWN_MIN_SPATIAL = int(
     os.environ.get("FUSED_DOWN_MIN_SPATIAL", 256 * 256))
 
-# BatchNorm/SiLU elementwise compute dtype (YOLO_BN_HALF=1 → bfloat16).
-# flax BatchNorm always accumulates the batch statistics in f32
-# (normalization._compute_stats promotes); this switches only the
-# normalize/SiLU elementwise math. The train step is HBM-bytes-bound and
-# its dominant non-conv cost is the f32 BN/SiLU chains over lane-padded
-# ≤96-channel tensors (tools/bench_stem_train.py: the stem's BN/SiLU costs
-# more than the conv), so halving their width is a model-wide lever.
-_BN_DTYPE = jnp.bfloat16 if os.environ.get("YOLO_BN_HALF") == "1" \
-    else jnp.float32
+def _bn_dtype(train: bool = True):
+    """BatchNorm/SiLU elementwise compute dtype on the TRAIN path.
+
+    ``YOLO_BN_HALF=1`` (set by ``train.py --bn-half``, auto-on for TPU)
+    switches the normalize/SiLU elementwise math to bfloat16; flax
+    BatchNorm always accumulates the batch statistics in f32
+    (normalization._compute_stats promotes) and the learned scale/bias and
+    running stats stay f32 params.  The train step is HBM-bytes-bound and
+    its dominant non-conv cost is the f32 BN/SiLU chains over lane-padded
+    ≤96-channel tensors (tools/bench_stem_train.py: the stem's BN/SiLU
+    costs more than its conv; e2e +8.6% train throughput).  Eval keeps
+    f32 normalize math (torch-parity harness, conv+BN folding)."""
+    if train and os.environ.get("YOLO_BN_HALF") == "1":
+        return jnp.bfloat16
+    return jnp.float32
 
 
 class ConvBnAct(nn.Module):
@@ -126,7 +132,7 @@ class ConvBnAct(nn.Module):
             use_running_average=False,
             momentum=0.97,
             epsilon=1e-3,
-            dtype=_BN_DTYPE,
+            dtype=_bn_dtype(),
             param_dtype=jnp.float32,
             name="BatchNorm_0",
         )(z)
@@ -158,7 +164,7 @@ class ConvBnAct(nn.Module):
             use_running_average=not train,
             momentum=0.97,
             epsilon=1e-3,
-            dtype=_BN_DTYPE,
+            dtype=_bn_dtype(train),
             param_dtype=jnp.float32,
         )(x)
         return nn.silu(x).astype(self.dtype) if self.act else x.astype(self.dtype)
@@ -238,7 +244,7 @@ class PackedStem(nn.Module):
                 use_running_average=False,
                 momentum=0.97,
                 epsilon=1e-3,
-                dtype=_BN_DTYPE,
+                dtype=_bn_dtype(),
                 param_dtype=jnp.float32,
                 name="BatchNorm_0",
             )(z)
@@ -308,7 +314,7 @@ class BottleneckCSP(nn.Module):
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=_BN_DTYPE, param_dtype=jnp.float32,
+            dtype=_bn_dtype(train), param_dtype=jnp.float32,
         )(y)
         y = nn.silu(y).astype(self.dtype)
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype)(y, train)
@@ -664,7 +670,7 @@ class CrossConv(nn.Module):
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=_BN_DTYPE, param_dtype=jnp.float32,
+            dtype=_bn_dtype(train), param_dtype=jnp.float32,
         )(y)
         y = nn.silu(y).astype(self.dtype)
         y = nn.Conv(
@@ -674,7 +680,7 @@ class CrossConv(nn.Module):
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=_BN_DTYPE, param_dtype=jnp.float32,
+            dtype=_bn_dtype(train), param_dtype=jnp.float32,
         )(y)
         y = nn.silu(y).astype(self.dtype)
         return x + y if self.shortcut and self.c1 == self.c2 else y
@@ -792,7 +798,7 @@ class MixConv2d(nn.Module):
         y = jnp.concatenate(outs, axis=-1)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3,
-            dtype=_BN_DTYPE, param_dtype=jnp.float32,
+            dtype=_bn_dtype(train), param_dtype=jnp.float32,
         )(y)
         return nn.silu(y).astype(self.dtype)
 
