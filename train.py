@@ -92,6 +92,13 @@ def parse_opt(args=None, known: bool = False):
                         " step throughput on TPU (default: auto — on for"
                         " TPU backends)")
     p.add_argument("--no-bn-half", dest="bn_half", action="store_false")
+    p.add_argument("--fused-train", dest="fused_train", default=None,
+                   action="store_true",
+                   help="stat-carrying fused Pallas train passes for the "
+                        "high-resolution prefix (stem→down1→C3→down2); "
+                        "(default: auto — on for TPU backends)")
+    p.add_argument("--no-fused-train", dest="fused_train",
+                   action="store_false")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
@@ -212,9 +219,13 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         bn_half = jax.default_backend() == "tpu"
     if bn_half:
         os.environ["YOLO_BN_HALF"] = "1"
+    # fused train region (TPU): layers 0-3 as stat-carrying Pallas passes
+    fused_train = getattr(opt, "fused_train", None)
+    if fused_train is None:
+        fused_train = packed and jax.default_backend() == "tpu"
     model, variables, meta = create_model(
         opt.cfg, nc=nc, dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
-        imgsz=opt.imgsz, packed_stem=packed,
+        imgsz=opt.imgsz, packed_stem=packed, fused_train=fused_train,
     )
     if opt.weights:
         from yolov5_obb_tpu.utils.checkpoint import load_weights

@@ -185,12 +185,17 @@ class _StemConvParams(nn.Module):
 
 
 class _StemBnParams(nn.Module):
-    """Parameter-only twin of the stem ``nn.BatchNorm``."""
+    """Parameter-only twin of the stem ``nn.BatchNorm``.
+
+    Calling it again with this step's batch ``(new_mean, new_var)``
+    applies the flax BatchNorm running-stat update (momentum 0.97) — the
+    fused train region computes batch statistics inside its Pallas passes
+    and pushes them here."""
 
     c2: int
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, new_mean=None, new_var=None):
         scale = self.param("scale", nn.initializers.ones, (self.c2,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.c2,), jnp.float32)
         mean = self.variable(
@@ -199,6 +204,9 @@ class _StemBnParams(nn.Module):
         var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.c2,), jnp.float32)
         )
+        if new_mean is not None and not self.is_initializing():
+            mean.value = 0.97 * mean.value + 0.03 * new_mean.astype(jnp.float32)
+            var.value = 0.97 * var.value + 0.03 * new_var.astype(jnp.float32)
         return scale, bias, mean.value, var.value
 
 
@@ -353,6 +361,64 @@ class _BottleneckParams(nn.Module):
         a = _CBAParams(self.c_, self.c_, 1, name="ConvBnAct_0")()
         b = _CBAParams(self.c_, self.c_, 3, name="ConvBnAct_1")()
         return a, b
+
+
+class _ConvBnTwin(nn.Module):
+    """Param twin of ``ConvBnAct`` for the fused train region.
+
+    First call returns ``(kernel, scale, bias)``; a second call with this
+    step's batch ``(mean, var)`` applies the running-stat update (flax
+    module reuse under the same scope — params are shared)."""
+
+    ci: int
+    co: int
+    k: int = 1
+
+    @nn.compact
+    def __call__(self, new_mean=None, new_var=None):
+        kernel = _AnyConvParams((self.k, self.k, self.ci, self.co),
+                                name="Conv_0")()
+        scale, bias, _, _ = _StemBnParams(self.co, name="BatchNorm_0")(
+            new_mean, new_var)
+        return kernel, scale, bias
+
+
+class _BottleneckTwin(nn.Module):
+    """Nested param twin of ``Bottleneck`` (scope Bottleneck_i/ConvBnAct_j)."""
+
+    c_: int
+
+    @nn.compact
+    def __call__(self, st_a=(None, None), st_b=(None, None)):
+        a = _ConvBnTwin(self.c_, self.c_, 1, name="ConvBnAct_0")(*st_a)
+        b = _ConvBnTwin(self.c_, self.c_, 3, name="ConvBnAct_1")(*st_b)
+        return a, b
+
+
+class _C3Twin(nn.Module):
+    """Param twin of the stock ``C3`` scope tree (ConvBnAct_0 = cv1,
+    Bottleneck_i, ConvBnAct_1 = cv2, ConvBnAct_2 = cv3) for the fused
+    train region.  Second call with ``stats`` — a flat tuple of
+    ``(mean, var)`` pairs ordered (cv1, cv2, b0.cv1, b0.cv2, …, cv3) —
+    pushes the running-stat updates."""
+
+    c1: int
+    c2: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, stats=None):
+        c_ = int(self.c2 * 0.5)
+        st = list(stats) if stats is not None else [(None, None)] * (
+            3 + 2 * self.n)
+        cv1 = _ConvBnTwin(self.c1, c_, 1, name="ConvBnAct_0")(*st[0])
+        bots = []
+        for i in range(self.n):
+            bots.append(_BottleneckTwin(c_, name=f"Bottleneck_{i}")(
+                st[2 + 2 * i], st[3 + 2 * i]))
+        cv2 = _ConvBnTwin(self.c1, c_, 1, name="ConvBnAct_1")(*st[1])
+        cv3 = _ConvBnTwin(2 * c_, self.c2, 1, name="ConvBnAct_2")(*st[-1])
+        return cv1, bots, cv2, cv3
 
 
 # Minimum H*W for the fused-C3 Pallas path (the only hardware-measured

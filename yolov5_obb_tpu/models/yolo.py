@@ -266,6 +266,36 @@ def _build_module(spec: LayerSpec, dtype, name: str, fused_c3: bool = False):
     return mk[kind]()
 
 
+def _fused_train_specs_ok(specs) -> bool:
+    """True iff layers 0-3 form the standard high-resolution prefix
+    stem Conv(6,2) → Conv(3,2) → C3(c,c,n shortcut) → Conv(3,2) and no
+    later layer references layers 0-2 (whose activations the fused train
+    region never materializes)."""
+    if len(specs) < 5:
+        return False
+    s0, s1, s2, s3 = specs[:4]
+    if not (s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]):
+        return False
+    if not (s1.name == "Conv" and list(s1.args[2:4]) == [3, 2]
+            and s1.frm == -1 and s1.repeats == 1):
+        return False
+    if not (s2.name == "C3" and s2.frm == -1 and s2.repeats == 1):
+        return False
+    a2 = list(s2.args)
+    if a2[0] != a2[1] or a2[1] % 2 or (len(a2) > 3 and not a2[3]):
+        return False
+    if len(a2) > 4 and a2[4] != 1:  # groups
+        return False
+    if not (s3.name == "Conv" and list(s3.args[2:4]) == [3, 2]
+            and s3.frm == -1 and s3.repeats == 1):
+        return False
+    for sp in specs[4:]:
+        refs = (sp.frm,) if isinstance(sp.frm, int) else tuple(sp.frm)
+        if any(j in (0, 1, 2) for j in refs):
+            return False
+    return True
+
+
 class YoloModel(nn.Module):
     """The full backbone+PAN+Detect graph built from a parsed spec.
 
@@ -274,6 +304,16 @@ class YoloModel(nn.Module):
     folds into the stem weights) and layer 0 runs as the fused Pallas stem
     (models/layers.PackedStem; identical parameter tree to the stock stem).
     Requires the config's first layer to be ``Conv(c2, 6, 2, 2)``.
+
+    ``fused_train``: train-mode TPU fast path for the high-resolution
+    low-channel prefix (layers 0-3: stem → down1 → C3 → down2) — the
+    region measured 4-12x over its HBM byte floor under stock XLA
+    (PARITY.md; tools/bench_train_convs2.py + bench_glue.py).  Runs as a
+    chain of stat-carrying Pallas passes (ops/pallas/train_fused.py):
+    each pass fuses the previous conv's BatchNorm+SiLU with its own conv
+    and emits per-channel (Σz, Σz²); statistics finalize between passes
+    in XLA, so autodiff composes the exact train-mode BatchNorm backward.
+    Parameter/batch-stats trees are identical to the stock graph.
     """
 
     specs: tuple  # tuple[LayerSpec]
@@ -286,6 +326,116 @@ class YoloModel(nn.Module):
     # them run as fused Pallas kernels (ops/pallas/{c3,down}_kernel.py) —
     # one flag for the whole fused-region family
     fused_c3: bool = False
+    fused_train: bool = False
+
+    def _fused_train_ok(self, x) -> bool:
+        if not (self.fused_train and self.packed_stem):
+            return False
+        if self.scope is not None and self.is_initializing():
+            return False
+        if x.ndim != 3 or not _fused_train_specs_ok(self.specs):
+            return False
+        B, H, W3 = x.shape
+        W = W3 // 3
+        c0, c1v = self.specs[1].args[0], self.specs[1].args[1]
+        # pass_3x3s2 shape constraints at both downsample sites
+        return (
+            (H // 2) % 32 == 0 and (W // 2) % 16 == 0
+            and (H // 4) % 32 == 0 and (W // 4) % 16 == 0
+            and c0 <= 128 and c1v <= 128
+        )
+
+    def _fused_train_region(self, x_packed):
+        """Layers 0-3 as the stat-carrying fused pass chain (train only)."""
+        from ..ops.pallas import train_fused as TF
+        from ..ops.pallas.stem_kernel import remap_w6, stem_conv_train
+
+        s0, s1, s2, s3 = self.specs[:4]
+        c0, c1v, c3v = s0.args[1], s1.args[1], s3.args[1]
+        nb = s2.args[2] if len(s2.args) > 2 else 1
+        c_ = c1v // 2
+        B, H, W3 = x_packed.shape
+        W = W3 // 3
+
+        m0 = L._ConvBnTwin(3, c0, 6, name="m0")
+        m1 = L._ConvBnTwin(c0, c1v, 3, name="m1")
+        m2 = L._C3Twin(c1v, c1v, nb, name="m2")
+        m3 = L._ConvBnTwin(c1v, c3v, 3, name="m3")
+
+        k0, g0, b0 = m0()
+        k1, g1, b1 = m1()
+        (kc1, gc1, bc1), bots, (kc2, gc2, bc2), (kc3, gc3, bc3) = m2()
+        k3, g3, b3 = m3()
+
+        def fin(st, gamma, beta, n):
+            gg, bb, mean, var = TF.finalize_gb(st[0], st[1], gamma, beta, n)
+            return jnp.stack([gg, bb]), mean, var
+
+        # stem conv (Pallas raw conv; wgrad-only VJP) + stats in XLA —
+        # the ds0 cotangent terms fuse into the stem wgrad's dz input
+        z0 = stem_conv_train(x_packed, remap_w6(k0) / 255.0, H, W,
+                             out_dtype=jnp.bfloat16)
+        z0f = z0.astype(jnp.float32)
+        st0 = jnp.stack([jnp.sum(z0f, (0, 1, 2)),
+                         jnp.sum(z0f * z0f, (0, 1, 2))])
+        n0 = B * (H // 2) * (W // 2)
+        gb0, mean0, var0 = fin(st0, g0, b0, n0)
+
+        # down1: BN+SiLU of the stem output fused with the stride-2 conv
+        z1, st1 = TF.pass_3x3s2(z0, gb0, k1.reshape(9 * c0, c1v))
+        n1 = n0 // 4
+        gb1, mean1, var1 = fin(st1, g1, b1, n1)
+
+        # C3 cv1 + cv2: one read of z1, two 1x1 outputs
+        (zc1, zc2), (sta, stb) = TF.pass_1x1(
+            (True,), ((0,),), (((0, 0),), ((0, 1),)),
+            (z1,), (gb1,), (kc1[0, 0], kc2[0, 0]))
+        gba, mc1, vc1 = fin(sta, gc1, bc1, n1)
+        gbb, mc2, vc2 = fin(stb, gc2, bc2, n1)
+
+        # bottlenecks: residual sums stay in z-space — bottleneck k's
+        # input is Σ ns(chain) over cv1's and every prior cv2's output
+        chain, gbs = [zc1], [gba]
+        bot_stats = []
+        for (ka, ga, ba), (kb, gbe_, bbe_) in bots:
+            m = len(chain)
+            (zd,), (std,) = TF.pass_1x1(
+                (True,) * m, (tuple(range(m)),), (((0, 0),),),
+                tuple(chain), tuple(gbs), (ka[0, 0],))
+            gbd, md, vd = fin(std, ga, ba, n1)
+            taps = kb.reshape(9 * c_, c_)
+            ze, ste = TF.pass_3x3s1(zd, gbd, taps,
+                                    TF.flip_taps(taps, c_, c_))
+            gbe, me, ve = fin(ste, gbe_, bbe_, n1)
+            chain.append(ze)
+            gbs.append(gbe)
+            bot_stats += [(md, vd), (me, ve)]
+
+        # cv3 on concat(m_out, cv2_out): split-weight sum of two groups
+        m = len(chain)
+        wc3 = kc3[0, 0]
+        (z3,), (st3,) = TF.pass_1x1(
+            (True,) * (m + 1), (tuple(range(m)), (m,)),
+            (((0, 0), (1, 1)),),
+            tuple(chain) + (zc2,), tuple(gbs) + (gbb,),
+            (wc3[:c_], wc3[c_:]))
+        gb3, mc3, vc3 = fin(st3, gc3, bc3, n1)
+
+        # down2
+        zd2, std2 = TF.pass_3x3s2(z3, gb3, k3.reshape(9 * c1v, c3v))
+        gbo, mean3, var3 = fin(std2, g3, b3, n1 // 4)
+
+        # handoff to stock XLA: one elementwise pass at 1/64 the pixels
+        bd = L._bn_dtype()
+        h = nn.silu(zd2.astype(bd) * gbo[0].astype(bd)
+                    + gbo[1].astype(bd)).astype(self.dtype)
+
+        # running-stat updates (second twin calls under the same scopes)
+        m0(mean0, var0)
+        m1(mean1, var1)
+        m2(((mc1, vc1), (mc2, vc2), *bot_stats, (mc3, vc3)))
+        m3(mean3, var3)
+        return h
 
     @nn.compact
     def __call__(self, x, train: bool = False, flat: bool = False):
@@ -296,7 +446,11 @@ class YoloModel(nn.Module):
             return (y[-1] if y else x) if j == -1 else y[j]
 
         skip = 0
-        if self.packed_stem:
+        if train and self._fused_train_ok(x):
+            h = self._fused_train_region(x)
+            y.extend([None, None, None, h])
+            skip = 4
+        elif self.packed_stem:
             s0 = self.specs[0]
             if not (s0.name == "Conv" and list(s0.args[2:4]) == [6, 2]):
                 raise ValueError(
@@ -356,7 +510,8 @@ class YoloModel(nn.Module):
 
 
 def build_model(cfg, nc: int | None = None, dtype=jnp.float32,
-                packed_stem: bool = False, fused_c3: bool = False):
+                packed_stem: bool = False, fused_c3: bool = False,
+                fused_train: bool = False):
     """Load config → (YoloModel, ModelMeta-without-strides, raw dict)."""
     d = load_config(cfg)
     if nc is not None and nc != d.get("nc"):
@@ -385,7 +540,8 @@ def build_model(cfg, nc: int | None = None, dtype=jnp.float32,
             )
     model = YoloModel(specs=tuple(specs), nc=nc_, na=na, dtype=dtype,
                       packed_stem=packed_stem, packed_l1=packed_l1,
-                      fused_c3=fused_c3)
+                      fused_c3=fused_c3,
+                      fused_train=fused_train and packed_stem)
     meta = ModelMeta(nc=nc_, nl=anchors_px.shape[0], na=na, strides=(), anchors_px=anchors_px)
     return model, meta, d
 
@@ -439,17 +595,21 @@ def init_model(model: YoloModel, meta: ModelMeta, rng, imgsz: int = 640):
 
 
 def create_model(cfg, nc: int | None = None, dtype=jnp.float32, rng=None, imgsz: int = 640,
-                 packed_stem: bool = False, fused_c3: bool | None = None):
+                 packed_stem: bool = False, fused_c3: bool | None = None,
+                 fused_train: bool = False):
     """One-call constructor: (model, variables, meta).
 
     ``fused_c3`` enables the fused-region Pallas family: eligible C3
     blocks AND the eligible stride-2 downsample Convs between them run as
     fused kernels.  Defaults to ``packed_stem`` (all are the TPU inference
-    fast path; training/export builds leave them off)."""
+    fast path; training/export builds leave them off).  ``fused_train``
+    enables the stat-carrying fused train region (layers 0-3; see
+    YoloModel docstring)."""
     if fused_c3 is None:
         fused_c3 = packed_stem
     model, meta, d = build_model(cfg, nc=nc, dtype=dtype,
-                                 packed_stem=packed_stem, fused_c3=fused_c3)
+                                 packed_stem=packed_stem, fused_c3=fused_c3,
+                                 fused_train=fused_train)
     meta = probe_strides(model, meta)
     meta.names = d.get("names")
     if rng is None:
