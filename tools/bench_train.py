@@ -43,9 +43,11 @@ def main():
     # mirror train.py's default: bf16 BN/SiLU on TPU (YOLO_BN_HALF=0 A/Bs)
     os.environ.setdefault(
         "YOLO_BN_HALF", "1" if jax.default_backend() == "tpu" else "0")
+    # FUSED=0 disables the stat-carrying fused train region (A/B)
+    fused = bool(int(os.environ.get("FUSED", "1"))) and packed
     model, variables, meta = create_model(
         "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
-        packed_stem=packed,
+        packed_stem=packed, fused_train=fused,
     )
     loss_fn = ComputeLoss(meta, scale_hyp_gains(hyp, meta.nl, meta.nc, IMGSZ))
     tx, _ = build_optimizer(

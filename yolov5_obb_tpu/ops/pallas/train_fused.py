@@ -753,7 +753,6 @@ def _k3x3s2_wgrad(H, ci, co, x_halo, x_cur, gb, dz_ref, out_ref, dgb_ref,
                 preferred_element_type=jnp.float32)
     for dx in range(3):
         out_ref[dx] += accs[dx]
-    dgb_ref[0, 0] += 0.0  # keep the accum output live
 
 
 def _conv_s2_xla(y, w_taps, ci, co):
