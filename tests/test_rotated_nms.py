@@ -205,3 +205,31 @@ def test_compact_dets_matches_topk_formulation():
         assert det.shape == (max_det, 7)
         np.testing.assert_allclose(det, want, atol=1e-6, err_msg=f"{n},{max_det}")
         assert num == int((top_s > 0).sum())
+
+
+def test_compact_select_matches_topk():
+    """compact_select ≡ exact lax.top_k (set and sorted scores) whenever
+    #positives <= k — the sort-free exact selection fast path."""
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.rotated_nms import compact_select
+
+    rng = np.random.default_rng(7)
+    for n, k, pos in [(4096, 512, 300), (4096, 512, 512), (1024, 256, 0),
+                      (8192, 1024, 7)]:
+        gate = np.zeros(n, np.float32)
+        if pos:
+            idx = rng.choice(n, pos, replace=False)
+            gate[idx] = rng.uniform(0.26, 0.99, pos)
+        sc, ic = compact_select(jnp.asarray(gate), k)
+        sc, ic = np.asarray(sc), np.asarray(ic)
+        order = np.argsort(-gate, kind="stable")[:k]
+        want = gate[order]
+        m = int((want > 0).sum())
+        np.testing.assert_allclose(sc[:m], want[:m], rtol=0, atol=0)
+        assert (sc[m:] == 0).all()
+        assert set(ic[:m].tolist()) == set(order[:m].tolist())
+        # unsorted variant returns the same index set
+        sc2, ic2 = compact_select(jnp.asarray(gate), k, sort=False)
+        assert set(np.asarray(ic2)[np.asarray(sc2) > 0].tolist()) == set(
+            order[:m].tolist())

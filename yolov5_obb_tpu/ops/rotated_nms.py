@@ -313,6 +313,60 @@ def _topk_pairs_exact(cc_i, conf_thres: float, k: int, nc: int):
     return scores, bidx[idx2 // nc], idx2 % nc
 
 
+def compact_select(gate, k: int, sort: bool = True):
+    """Exact top-k of a THRESHOLDED score vector without sorting it.
+
+    ``jax.lax.top_k`` over the full anchor axis is a bitonic sort of
+    N=64512 keys per image — the dominant selection cost since exact
+    selection became the default.  When the number of positive entries is
+    at most ``k`` (the production regime at conf 0.25), the top-k SET is
+    just "every nonzero" — no N-wide sort needed:
+
+      1. slot assignment: ``pos = cumsum(gate > 0)`` (order-preserving);
+      2. compaction as ONE MXU matmul via two-level slot decomposition
+         ``pos = hi*128 + lo``: out[hi, lo] = Σ_i A[hi, i]·L[i, lo] with
+         ``A[h, i] = [hi_i == h]·(i + 1)`` carrying the anchor index
+         (f32, ``Precision.HIGHEST`` — each output slot receives exactly
+         one nonzero term, so the copy is exact) and ``L`` the {0,1}
+         lane one-hot (bf16).  Replaces the (k, N) one-hot that a direct
+         ``_compact_dets``-style compaction would materialise (528 MB);
+      3. (``sort=True``) one ``top_k`` over the k compacted scores —
+         a 4096-wide sort instead of 64512.
+
+    EXACT iff ``#nonzero <= k``; callers must guard the overflow case
+    with a batch-level ``lax.cond`` fallback to ``top_k`` (see
+    ``non_max_suppression_from_maps``).  Returns ``(scores, idx)``
+    score-descending (or slot-ordered when ``sort=False``), zero-padded.
+    """
+    n = gate.shape[0]
+    k = min(k, n)
+    kept = gate > 0
+    # 1-based slot, 0 = dropped; f32 cumsum exact to 2^24 >> n
+    pos = jnp.cumsum(kept.astype(jnp.float32)) * kept.astype(jnp.float32)
+    pos = pos - 1.0  # 0-based, -1 = dropped (matches no hi row)
+    rows = -(-k // 128)
+    hi = jnp.floor(pos * (1.0 / 128.0))  # exact: /128 is a 2^-7 scale
+    lo = pos - hi * 128.0
+    av = jnp.where(kept, jnp.arange(n, dtype=jnp.float32) + 1.0, 0.0)
+    A = jnp.where(
+        hi[None, :] == jnp.arange(rows, dtype=jnp.float32)[:, None],
+        av[None, :], 0.0)  # (rows, n) f32, carries index+1
+    L = (lo[:, None] == jnp.arange(128, dtype=jnp.float32)[None, :]
+         ).astype(jnp.bfloat16)  # (n, 128) {0,1}
+    slots = jax.lax.dot_general(
+        A, L, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    idx = slots.reshape(rows * 128)[:k].astype(jnp.int32) - 1
+    valid = idx >= 0
+    sc = jnp.where(valid, gate[jnp.maximum(idx, 0)], 0.0)
+    idx = jnp.where(valid, idx, 0)
+    if not sort:
+        return sc, idx
+    sc, order = jax.lax.top_k(sc, k)
+    return sc, jnp.where(sc > 0, idx[order], 0)
+
+
 def _apply_class_filter(cls_conf, classes, nc: int):
     """Zero the confidence of classes outside ``classes`` (a static tuple of
     kept ids) — reference ``--classes`` filter (general.py:833-835) applied
