@@ -16,7 +16,6 @@ import pytest
 
 from yolov5_obb_tpu.ops.pallas.train_fused import (
     finalize_gb,
-    flip_taps,
     pass_1x1,
     pass_3x3s1,
     pass_3x3s2,
@@ -112,9 +111,8 @@ def test_pass_3x3s1_forward(rngs):
     gb = jnp.stack([_mk(rngs, (ci,), 0.3) + 1.0, _mk(rngs, (ci,), 0.2)])
     w4 = _mk(rngs, (3, 3, ci, co), 0.2)
     w_taps = w4.reshape(9 * ci, co)
-    wt = flip_taps(w_taps, ci, co)
 
-    zo, st = pass_3x3s1(z, gb, w_taps, wt)
+    zo, st = pass_3x3s1(z, gb, w_taps)
     y = _ns_ref(z, gb).astype(jnp.bfloat16)
     ref = _conv_ref(y, w4, 1)
     np.testing.assert_allclose(np.asarray(zo, np.float32),
@@ -168,9 +166,8 @@ def test_chain_gradients_match_reference(rngs):
         (za,), (sta,) = pass_1x1((True,), ((0,),), (((0, 0),),),
                                  (zd,), (jnp.stack([gg1, bb1]),), (wa,))
         gg2, bb2, _, _ = finalize_gb(sta[0], sta[1], g2, b2, n1)
-        wt_taps = wt.reshape(9 * c2, c2)
-        zt, _ = pass_3x3s1(za, jnp.stack([gg2, bb2]), wt_taps,
-                           flip_taps(wt_taps, c2, c2))
+        zt, _ = pass_3x3s1(za, jnp.stack([gg2, bb2]),
+                           wt.reshape(9 * c2, c2))
         return jnp.sum(zt.astype(jnp.float32) ** 2)
 
     def ref(params):

@@ -138,9 +138,7 @@ def main():
                     mk((3, 3, 48, 48), 0.1))
 
         leg("c3b_3x3_256x48",
-            lambda z, gb, w: TF.pass_3x3s1(
-                z, gb, w.reshape(9 * 48, 48),
-                TF.flip_taps(w.reshape(9 * 48, 48), 48, 48)),
+            lambda z, gb, w: TF.pass_3x3s1(z, gb, w.reshape(9 * 48, 48)),
             lambda z, gb, w: stock_chain(z, gb, w, 1),
             mk_args)
 

@@ -403,9 +403,7 @@ class YoloModel(nn.Module):
                 (True,) * m, (tuple(range(m)),), (((0, 0),),),
                 tuple(chain), tuple(gbs), (ka[0, 0],))
             gbd, md, vd = fin(std, ga, ba, n1)
-            taps = kb.reshape(9 * c_, c_)
-            ze, ste = TF.pass_3x3s1(zd, gbd, taps,
-                                    TF.flip_taps(taps, c_, c_))
+            ze, ste = TF.pass_3x3s1(zd, gbd, kb.reshape(9 * c_, c_))
             gbe, me, ve = fin(ste, gbe_, bbe_, n1)
             chain.append(ze)
             gbs.append(gbe)

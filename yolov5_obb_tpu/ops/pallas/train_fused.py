@@ -404,6 +404,18 @@ def _dx_dot(taps, w_ref, ci, co, W):
     return acc
 
 
+def _row_mask_flat(W: int, H: int, n_rows: int):
+    """(n_rows*W, 1) f32 {0,1} mask of in-image slab rows, built on a flat
+    2-D iota (a (n_rows, W)→(n_rows*W, 1) reshape is a lane→sublane shape
+    cast Mosaic cannot lower).  Slab row r holds global row
+    p*_ROWS - 1 + r, so row r is valid iff 1 - p*_ROWS <= r < H+1 - p*_ROWS
+    — as flat bounds, f ∈ [lo*W, hi*W)."""
+    fl = jax.lax.broadcasted_iota(jnp.int32, (n_rows * W, 1), 0)
+    lo = (1 - pl.program_id(1) * _ROWS) * W
+    hi = (H + 1 - pl.program_id(1) * _ROWS) * W
+    return ((fl >= lo) & (fl < hi)).astype(jnp.float32)
+
+
 def _ns_slab(zcat, gb, p, H, n_rows):
     """Activate slab rows [7, 7+n_rows) of a (*, W, ci) concat slab with
     out-of-image rows zeroed. Returns (n_rows, W, ci) bf16."""
@@ -411,10 +423,7 @@ def _ns_slab(zcat, gb, p, H, n_rows):
     need = jax.lax.slice(zcat, (7, 0, 0), (7 + n_rows, W, ci))
     zf = need.reshape(n_rows * W, ci).astype(jnp.float32)
     y = _silu_f32(zf * gb[0:1] + gb[1:2])
-    grow = pl.program_id(1) * _ROWS - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (n_rows, W), 0)
-    m = ((grow >= 0) & (grow < H)).astype(jnp.float32).reshape(
-        n_rows * W, 1)
+    m = _row_mask_flat(W, H, n_rows)
     return (y * m).astype(jnp.bfloat16).reshape(n_rows, W, ci)
 
 
@@ -423,11 +432,7 @@ def _mask_slab(dcat, p, H, n_rows):
     W, c = dcat.shape[1], dcat.shape[2]
     need = jax.lax.slice(dcat, (7, 0, 0), (7 + n_rows, W, c))
     f = need.reshape(n_rows * W, c).astype(jnp.float32)
-    grow = pl.program_id(1) * _ROWS - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (n_rows, W), 0)
-    m = ((grow >= 0) & (grow < H)).astype(jnp.float32).reshape(
-        n_rows * W, 1)
-    return (f * m).reshape(n_rows, W, c)
+    return (f * _row_mask_flat(W, H, n_rows)).reshape(n_rows, W, c)
 
 
 def _k3x3s1(H, z_prev, z_cur, z_next, gb, w_ref, out_ref, st_ref):
@@ -455,77 +460,6 @@ def _k3x3s1(H, z_prev, z_cur, z_next, gb, w_ref, out_ref, st_ref):
     st_ref[1, :] += s2
 
 
-def _k3x3s1_bwd(H, z_prev, z_cur, z_next, zo_prev, zo_cur, zo_next,
-                dz_prev, dz_cur, dz_next, gb, w_ref, wt_ref, dst,
-                dz_in_ref, dw_ref, dgb_ref):
-    """Backward: dz_in rows [pR, pR+R), dw (3, 3ci, co) accum, dgb accum.
-
-    wt_ref: (9*co, ci) — tap-flipped transposed weights for the igrad
-    (built on the host: wt[(dy,dx)] = w[2-dy, 2-dx]^T).
-    """
-    R = _ROWS
-    zcat = jnp.concatenate([z_prev[0], z_cur[0], z_next[0]], axis=0)
-    W, ci = zcat.shape[1], zcat.shape[2]
-    co = dz_cur.shape[-1]
-
-    # dz_eff slab rows [pR-1, pR+R+1) with stat terms + row mask
-    zocat = jnp.concatenate([zo_prev[0], zo_cur[0], zo_next[0]], axis=0)
-    dzcat = jnp.concatenate([dz_prev[0], dz_cur[0], dz_next[0]], axis=0)
-    zof = _mask_slab(zocat, pl.program_id(1), H, R + 2)
-    dzf = _mask_slab(dzcat, pl.program_id(1), H, R + 2)
-    ds = dst[...]
-    dzeff = (dzf.reshape((R + 2) * W, co)
-             + ds[0:1] + 2.0 * zof.reshape((R + 2) * W, co) * ds[1:2])
-    # re-mask: the ds terms must not leak into out-of-image halo rows
-    grow = pl.program_id(1) * _ROWS - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (R + 2, W), 0)
-    m = ((grow >= 0) & (grow < H)).astype(jnp.float32).reshape(
-        (R + 2) * W, 1)
-    dzeff = (dzeff * m).astype(jnp.bfloat16).reshape(R + 2, W, co)
-
-    # activated input slab (for wgrad) + raw input (for the dα chain)
-    yb = _ns_slab(zcat, gb, pl.program_id(1), H, R + 2)
-    zneed = jax.lax.slice(zcat, (7, 0, 0), (7 + R + 2, W, ci))
-
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-
-    @pl.when(first)
-    def _init():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
-        dgb_ref[...] = jnp.zeros_like(dgb_ref)
-
-    # --- wgrad: dw[dy, dx] += y[r+dy-1]^T dz_eff[r] over this block's rows
-    waccs = [jnp.zeros((3 * ci, co), jnp.float32) for _ in range(3)]
-    # local dz_eff rows for output rows [pR, pR+R) are slab rows 1..R+1
-    for r in range(R):
-        taps = _row_shift_taps(yb, r)
-        dzr = dzeff[r + 1]  # (W, co)
-        for dx in range(3):
-            hp = jnp.concatenate(taps[dx], axis=1)  # (W, 3ci)
-            waccs[dx] = waccs[dx] + jax.lax.dot_general(
-                hp, dzr, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    for dx in range(3):
-        dw_ref[dx] += waccs[dx]
-
-    # --- igrad + dα chain, per input row i (slab dz rows i..i+2)
-    dg = jnp.zeros((ci,), jnp.float32)
-    db = jnp.zeros((ci,), jnp.float32)
-    g = gb[0:1]
-    b = gb[1:2]
-    for i in range(R):
-        taps = _row_shift_taps(dzeff, i)
-        t = _dx_dot(taps, wt_ref[...], co, ci, W)  # (W, ci) f32
-        zrow = zneed[i + 1].astype(jnp.float32)  # input row pR+i
-        a = zrow * g + b
-        da = t * _dsilu_f32(a)
-        dz_in_ref[0, i] = (da * g).astype(jnp.bfloat16)
-        dg = dg + jnp.sum(da * zrow, axis=0)
-        db = db + jnp.sum(da, axis=0)
-    dgb_ref[0, :] += dg
-    dgb_ref[1, :] += db
-
-
 def _halo_specs(W, c):
     """(prev8, cur, next8) BlockSpecs for a (B, H, W, c) tensor with
     clamped halo index maps (out-of-range halo rows are masked inside)."""
@@ -545,14 +479,6 @@ def _halo_specs(W, c):
     )
 
 
-def flip_taps(w_taps, ci, co):
-    """(9*ci, co) taps → (9*co, ci) tap-flipped transpose for the igrad:
-    out[(dy,dx)] rows hold w[2-dy, 2-dx]^T.  Traceable (jnp)."""
-    w = jnp.asarray(w_taps, jnp.float32).reshape(3, 3, ci, co)
-    wt = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (3, 3, co, ci)
-    return wt.reshape(9 * co, ci)
-
-
 def _next_padded(z):
     """Pad H by one 8-row block of zeros so the next-halo index map never
     leaves the array (the pad rows are also masked in-kernel)."""
@@ -560,17 +486,15 @@ def _next_padded(z):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def pass_3x3s1(z_in, gb, w_taps, wt_taps):
+def pass_3x3s1(z_in, gb, w_taps):
     """normalize+SiLU → SAME 3x3 stride-1 conv + stat partials.
 
     z_in (B, H, W, ci) bf16; gb (2, ci) f32; w_taps (9*ci, co);
-    wt_taps (9*co, ci) (flip_taps(w_taps) — passed explicitly so it is
-    traced once; only used by the backward).
     Returns (z_out (B, H, W, co) bf16, stats (2, co) f32)."""
-    return _p3s1_fwd(z_in, gb, w_taps, wt_taps)[0]
+    return _p3s1_fwd(z_in, gb, w_taps)[0]
 
 
-def _p3s1_fwd(z_in, gb, w_taps, wt_taps):
+def _p3s1_fwd(z_in, gb, w_taps):
     B, H, W, ci = z_in.shape
     co = w_taps.shape[1]
     zp = _next_padded(z_in.astype(jnp.bfloat16))
@@ -593,52 +517,56 @@ def _p3s1_fwd(z_in, gb, w_taps, wt_taps):
         interpret=_interpret(),
     )(zp, zp, zp, jnp.asarray(gb, jnp.float32),
       jnp.asarray(w_taps, jnp.bfloat16))
-    return (out, st), (z_in, gb, w_taps, wt_taps, out)
+    return (out, st), (z_in, gb, w_taps, out)
 
 
-def _p3s1_bwd(saved, cot):
-    z_in, gb, w_taps, wt_taps, z_out = saved
-    dz_out, dst = cot
+def _xla_conv_bwd(z_in, gb, w_taps, z_out, dz_out, dst, stride: int):
+    """XLA-native backward shared by the 3x3 passes: dz_eff fold, conv
+    wgrad+igrad via ``jax.vjp`` of a stock conv (the unused primal is
+    DCE'd under jit, leaving exactly the stock wgrad/igrad convs), and
+    the dα/(dγ, dβ) chain as fused elementwise+reduce.
+
+    The all-Pallas backwards measured SLOWER than stock at the region
+    shapes (tools/bench_train_fused.py: down1 +0.79, 3x3s1 +0.39 ms/img
+    — halo re-reads of three tensors plus thin per-row MXU dots), while
+    the Pallas FORWARDS hold their fusion win — so the VJPs route here.
+    """
     B, H, W, ci = z_in.shape
     co = w_taps.shape[1]
     if dst is None:
         dst = jnp.zeros((2, co), jnp.float32)
     if dz_out is None:
         dz_out = jnp.zeros_like(z_out)
-    zp = _next_padded(z_in.astype(jnp.bfloat16))
-    zop = _next_padded(z_out)
-    dzp = _next_padded(dz_out.astype(jnp.bfloat16))
-    si = _halo_specs(W, ci)
-    so = _halo_specs(W, co)
-    v = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    dz_in, dw3, dgb = pl.pallas_call(
-        functools.partial(_k3x3s1_bwd, H),
-        grid=(B, H // _ROWS),
-        in_specs=[*si, *so, *so, v(), v(), v(), v()],
-        out_specs=[pl.BlockSpec((1, _ROWS, W, ci),
-                                lambda b, i: (b, i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((3, 3 * ci, co), lambda b, i: (0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((2, ci), lambda b, i: (0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, H, W, ci), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((3, 3 * ci, co), jnp.float32),
-                   jax.ShapeDtypeStruct((2, ci), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(zp, zp, zp, zop, zop, zop, dzp, dzp, dzp,
-      jnp.asarray(gb, jnp.float32), jnp.asarray(w_taps, jnp.bfloat16),
-      jnp.asarray(wt_taps, jnp.bfloat16), jnp.asarray(dst, jnp.float32))
-    # (3, 3ci, co): [dx, dy*ci + c] → taps layout row (3*dy+dx)*ci + c
-    dw = (dw3.reshape(3, 3, ci, co).transpose(1, 0, 2, 3)
-          .reshape(9 * ci, co).astype(w_taps.dtype))
-    return (dz_in, dgb, dw, jnp.zeros_like(wt_taps))
+    dz_eff = (dz_out.astype(jnp.float32) + dst[0]
+              + 2.0 * z_out.astype(jnp.float32) * dst[1]).astype(jnp.bfloat16)
+    zf = z_in.astype(jnp.float32)
+    a = zf * gb[0] + gb[1]
+    y = _silu_f32(a).astype(jnp.bfloat16)
+    w4 = jnp.asarray(w_taps, jnp.bfloat16).reshape(3, 3, ci, co)
+
+    def conv(yy, ww):
+        return jax.lax.conv_general_dilated(
+            yy, ww, (stride, stride), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    _, conv_vjp = jax.vjp(conv, y, w4)
+    dy, dw4 = conv_vjp(dz_eff)
+    da = dy.astype(jnp.float32) * _dsilu_f32(a)
+    dz_in = (da * gb[0]).astype(z_in.dtype)
+    dg = jnp.sum(da * zf, axis=(0, 1, 2))
+    db = jnp.sum(da, axis=(0, 1, 2))
+    dw = dw4.reshape(9 * ci, co).astype(w_taps.dtype)
+    return dz_in, jnp.stack([dg, db]), dw
 
 
-def _p3s1_fwd_rule(z_in, gb, w_taps, wt_taps):
-    out, saved = _p3s1_fwd(z_in, gb, w_taps, wt_taps)
+def _p3s1_bwd(saved, cot):
+    z_in, gb, w_taps, z_out = saved
+    dz_out, dst = cot
+    return _xla_conv_bwd(z_in, gb, w_taps, z_out, dz_out, dst, 1)
+
+
+def _p3s1_fwd_rule(z_in, gb, w_taps):
+    out, saved = _p3s1_fwd(z_in, gb, w_taps)
     return out, saved
 
 
@@ -724,37 +652,6 @@ def _k3x3s2(H, ci, co, x_halo, x_cur, gb, w_ref, out_ref, st_ref, scr):
     st_ref[1, :] += s2
 
 
-def _k3x3s2_wgrad(H, ci, co, x_halo, x_cur, gb, dz_ref, out_ref, dgb_ref,
-                  scr):
-    """wgrad on the ns-staged slab (+ a placeholder (2, ci) accum output;
-    the dα chain and (dg, db) reductions run in XLA, _p3s2_bwd).
-
-    dz_ref: (1, R, W2, co) — dz_eff rows of this program's output block.
-    """
-    R = _ROWS
-    W = x_cur.shape[2]
-    _stage_ns_slab(x_halo, x_cur, gb, scr, ci, H)
-
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-
-    @pl.when(first)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-        dgb_ref[...] = jnp.zeros_like(dgb_ref)
-
-    accs = [jnp.zeros((3 * ci, co), jnp.float32) for _ in range(3)]
-    for oy in range(R):
-        taps = _row_taps_s2(scr, oy, W, ci)
-        dzr = dz_ref[0, oy].astype(jnp.bfloat16)
-        for dx in range(3):
-            hp = jnp.concatenate(taps[dx], axis=1)
-            accs[dx] = accs[dx] + jax.lax.dot_general(
-                hp, dzr, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    for dx in range(3):
-        out_ref[dx] += accs[dx]
-
-
 def _conv_s2_xla(y, w_taps, ci, co):
     w = w_taps.reshape(3, 3, ci, co).astype(jnp.bfloat16)
     return jax.lax.conv_general_dilated(
@@ -812,69 +709,7 @@ def _p3s2_fwd(z_in, gb, w_taps):
 def _p3s2_bwd(saved, cot):
     z_in, gb, w_taps, z_out = saved
     dz_out, dst = cot
-    B, H, W, ci = z_in.shape
-    co = w_taps.shape[1]
-    if dz_out is None:
-        dz_out = jnp.zeros_like(z_out)
-    if dst is None:
-        dst = jnp.zeros((2, co), jnp.float32)
-
-    dz_eff = (dz_out.astype(jnp.float32) + dst[0] +
-              2.0 * z_out.astype(jnp.float32) * dst[1]).astype(jnp.bfloat16)
-
-    # --- wgrad + staged activations: Pallas ---
-    zb = z_in.astype(jnp.bfloat16)
-
-    def idx_halo(b, p):
-        return (b, jnp.maximum((_ROWS // 4) * p - 1, 0), 0, 0)
-
-    dw3, _dgb_unused = pl.pallas_call(
-        functools.partial(_k3x3s2_wgrad, H, ci, co),
-        grid=(B, H // (2 * _ROWS)),
-        in_specs=[
-            pl.BlockSpec((1, 8, W, ci), idx_halo, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * _ROWS, W, ci), lambda b, p: (b, p, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _ROWS, W // 2, co), lambda b, p: (b, p, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((3, 3 * ci, co), lambda b, p: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, ci), lambda b, p: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((3, 3 * ci, co), jnp.float32),
-                   jax.ShapeDtypeStruct((2, ci), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM(((2 * _ROWS + 8) * W, ci), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(zb, zb, jnp.asarray(gb, jnp.float32), dz_eff)
-    dw = (dw3.reshape(3, 3, ci, co).transpose(1, 0, 2, 3)
-          .reshape(9 * ci, co).astype(w_taps.dtype))
-
-    # --- igrad (XLA transposed conv, near its byte floor) + dα chain ---
-    # t[i] = Σ_dy w[dy]·dz_eff[(i+1-dy)/2] (integer indices only).  As a
-    # correlation over the 2x-lhs-dilated dz with pad (1, 2): the kernel
-    # tap e sees dilated row i+e-1, so e = 2-dy → the kernel must be
-    # SPATIALLY FLIPPED (XLA convs are correlations; the transpose of a
-    # correlation is a flipped correlation), channels transposed.
-    w = jnp.asarray(w_taps, jnp.bfloat16).reshape(3, 3, ci, co)
-    t = jax.lax.conv_general_dilated(
-        dz_eff.astype(jnp.bfloat16),
-        w[::-1, ::-1].transpose(0, 1, 3, 2), (1, 1),
-        [(1, 2), (1, 2)], lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    zf = z_in.astype(jnp.float32)
-    a = zf * gb[0] + gb[1]
-    da = t * _dsilu_f32(a)
-    dz_in = (da * gb[0]).astype(z_in.dtype)
-    dg = jnp.sum(da * zf, axis=(0, 1, 2))
-    db = jnp.sum(da, axis=(0, 1, 2))
-    return (dz_in, jnp.stack([dg, db]), dw)
+    return _xla_conv_bwd(z_in, gb, w_taps, z_out, dz_out, dst, 2)
 
 
 def _p3s2_fwd_rule(z_in, gb, w_taps):
