@@ -367,6 +367,48 @@ def compact_select(gate, k: int, sort: bool = True):
     return sc, jnp.where(sc > 0, idx[order], 0)
 
 
+def _batched_exact_select(gate, k: int):
+    """Batched exact selection over a thresholded (B, N) gate: the
+    sort-free ``compact_select`` fast path when every image has at most
+    ``k`` positives (the production regime), with a whole-batch
+    ``lax.cond`` fallback to the N-wide ``top_k`` otherwise — the
+    predicate is batch-scalar, so only ONE branch executes (a per-image
+    cond under vmap would lower to a select that runs both)."""
+    counts = jnp.sum((gate > 0).astype(jnp.int32), axis=1)
+    return jax.lax.cond(
+        jnp.all(counts <= k),
+        lambda g: tuple(jax.vmap(lambda gi: compact_select(gi, k))(g)),
+        lambda g: tuple(jax.vmap(lambda gi: jax.lax.top_k(gi, k))(g)),
+        gate)
+
+
+def _batched_exact_pairs(cls_conf, conf_thres: float, k: int, nc: int):
+    """Batched exact multi-label (box, cls) pair selection: two-stage
+    compaction (boxes unsorted, then pairs sorted) when every image has
+    at most ``k`` positive pairs — #positive boxes <= #positive pairs,
+    so one predicate covers both stages — else the sort-based
+    ``_topk_pairs_exact``."""
+    counts = jnp.sum((cls_conf > conf_thres).astype(jnp.int32), axis=(1, 2))
+
+    def fast(cc):
+        def one(cc_i):
+            best = jnp.max(cc_i, axis=-1)
+            gate = jnp.where(best > conf_thres, best, 0.0)
+            bsc, bidx = compact_select(gate, k, sort=False)
+            sub = cc_i[bidx] * (bsc > 0).astype(cc_i.dtype)[:, None]
+            flat = jnp.where(sub > conf_thres, sub, 0.0).reshape(-1)
+            sc, fi = compact_select(flat, k)
+            return sc, bidx[fi // nc], fi % nc
+
+        return tuple(jax.vmap(one)(cc))
+
+    def slow(cc):
+        return tuple(jax.vmap(
+            lambda cc_i: _topk_pairs_exact(cc_i, conf_thres, k, nc))(cc))
+
+    return jax.lax.cond(jnp.all(counts <= k), fast, slow, cls_conf)
+
+
 def _apply_class_filter(cls_conf, classes, nc: int):
     """Zero the confidence of classes outside ``classes`` (a static tuple of
     kept ids) — reference ``--classes`` filter (general.py:833-835) applied
@@ -439,26 +481,31 @@ def non_max_suppression_obb(
     k = min(max_candidates, N * nc if multi_label else N)
     topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
 
-    def one_image(boxes_i, cls_conf_i, theta_logits_i, obj_i):
-        if multi_label and not approx_topk:
-            scores, box_idx, cls_id = _topk_pairs_exact(
-                cls_conf_i, conf_thres, k, nc)
-        elif multi_label:
+    if multi_label and not approx_topk:
+        scores, box_idx, cls_id = _batched_exact_pairs(
+            cls_conf, conf_thres, k, nc)
+    elif multi_label:
+        def sel_image(cls_conf_i, obj_i):
             flat = jnp.where(
                 (cls_conf_i > conf_thres) & (obj_i[:, None] > conf_thres),
                 cls_conf_i,
                 0.0,
             ).reshape(-1)  # (N*nc,)
             scores, idx = topk(flat, k)
-            box_idx = idx // nc
-            cls_id = idx % nc
-        else:
-            best = jnp.max(cls_conf_i, axis=-1)
-            cls_id_all = jnp.argmax(cls_conf_i, axis=-1)
-            flat = jnp.where((best > conf_thres) & (obj_i > conf_thres), best, 0.0)
-            scores, box_idx = topk(flat, k)
-            cls_id = cls_id_all[box_idx]
+            return scores, idx // nc, idx % nc
 
+        scores, box_idx, cls_id = jax.vmap(sel_image)(cls_conf, obj)
+    else:
+        best = jnp.max(cls_conf, axis=-1)
+        gate = jnp.where((best > conf_thres) & (obj > conf_thres), best, 0.0)
+        if approx_topk:
+            scores, box_idx = jax.vmap(lambda g: topk(g, k))(gate)
+        else:
+            scores, box_idx = _batched_exact_select(gate, k)
+        cls_id = jnp.take_along_axis(
+            jnp.argmax(cls_conf, axis=-1), box_idx, axis=1)
+
+    def one_image(scores, box_idx, cls_id, boxes_i, theta_logits_i):
         # theta argmax only on selected candidates ((k,180) not (N,180))
         theta_idx = jnp.argmax(theta_logits_i[box_idx], axis=-1)
         theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
@@ -466,11 +513,12 @@ def non_max_suppression_obb(
         rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)  # (k, 5)
         keep = nms_rotated(
             rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            presorted=True,  # top_k output is sorted
+            presorted=True,  # selection output is score-sorted
         )
         return _compact_dets(rb, scores, cls_id, keep, max_det)
 
-    return jax.vmap(one_image)(boxes, cls_conf, prediction[..., 5 + nc :], obj)
+    return jax.vmap(one_image)(scores, box_idx, cls_id, boxes,
+                               prediction[..., 5 + nc :])
 
 
 def non_max_suppression_from_maps(
@@ -579,33 +627,40 @@ def non_max_suppression_from_maps(
     if multi_label:
         cls_conf = jnp.concatenate(conf_l, 1)
 
-        def one_image(cc_i, obj_i, x_i, y_i, w_i, h_i, th_i):
-            if approx_topk:  # bench-only legacy single-stage selection
+        if approx_topk:  # bench-only legacy single-stage selection
+            def sel_image(cc_i, obj_i):
                 flat = jnp.where(
                     (cc_i > conf_thres) & (obj_i[:, None] > conf_thres),
                     cc_i, 0.0,
                 ).reshape(-1)
                 scores, idx = topk(flat, k)
-                box_idx, cls_id = idx // nc, idx % nc
-            else:
-                scores, box_idx, cls_id = _topk_pairs_exact(
-                    cc_i, conf_thres, k, nc)
-            return finish(scores, box_idx, cls_id,
-                          x_i, y_i, w_i, h_i, th_i)
+                return scores, idx // nc, idx % nc
 
-        return jax.vmap(one_image)(cls_conf, obj, xs, ys, ws, hs, thidx)
+            scores, box_idx, cls_id = jax.vmap(sel_image)(cls_conf, obj)
+        else:
+            scores, box_idx, cls_id = _batched_exact_pairs(
+                cls_conf, conf_thres, k, nc)
+
+        def fin_image(sc_i, bi_i, ci_i, x_i, y_i, w_i, h_i, th_i):
+            return finish(sc_i, bi_i, ci_i, x_i, y_i, w_i, h_i, th_i)
+
+        return jax.vmap(fin_image)(scores, box_idx, cls_id,
+                                   xs, ys, ws, hs, thidx)
 
     best = jnp.concatenate(best_l, 1)
     cid = jnp.concatenate(cid_l, 1)
 
-    def one_image(best_i, cid_i, obj_i, x_i, y_i, w_i, h_i, th_i):
-        flat = jnp.where((best_i > conf_thres) & (obj_i > conf_thres),
-                         best_i, 0.0)
-        scores, box_idx = topk(flat, k)
-        return finish(scores, box_idx, cid_i[box_idx],
-                      x_i, y_i, w_i, h_i, th_i)
+    gate = jnp.where((best > conf_thres) & (obj > conf_thres), best, 0.0)
+    if approx_topk:
+        scores, box_idx = jax.vmap(lambda g: topk(g, k))(gate)
+    else:
+        scores, box_idx = _batched_exact_select(gate, k)
 
-    return jax.vmap(one_image)(best, cid, obj, xs, ys, ws, hs, thidx)
+    def fin_image(sc_i, bi_i, cid_i, x_i, y_i, w_i, h_i, th_i):
+        return finish(sc_i, bi_i, cid_i[bi_i], x_i, y_i, w_i, h_i, th_i)
+
+    return jax.vmap(fin_image)(scores, box_idx, cid,
+                               xs, ys, ws, hs, thidx)
 
 
 def nms_rotated_np(rboxes, scores, iou_thr, iou_fn):
