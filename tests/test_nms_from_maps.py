@@ -93,8 +93,11 @@ def test_two_stage_multilabel_selection_is_exact(rng):
     ]
     # max_candidates chosen BELOW the above-threshold pair count so the
     # overflow ranking (keep the highest-confidence pairs) is exercised too
+    # (1024 still exceeds the positive-pair count -> non-overflow leg; the
+    # earlier 4096 leg = k=3780 built an (n, M, n) suppression lattice that
+    # XLA CPU materializes at ~4 GB -> minutes per leg, no extra coverage)
     kw = dict(conf_thres=0.15, iou_thres=0.45, max_det=64, multi_label=True)
-    for max_candidates in (32, 256, 4096):
+    for max_candidates in (32, 256, 1024):
         d1, n1 = non_max_suppression_from_maps(
             maps, meta, max_candidates=max_candidates, approx_topk=True, **kw)
         d2, n2 = non_max_suppression_from_maps(

@@ -233,3 +233,29 @@ def test_compact_select_matches_topk():
         sc2, ic2 = compact_select(jnp.asarray(gate), k, sort=False)
         assert set(np.asarray(ic2)[np.asarray(sc2) > 0].tolist()) == set(
             order[:m].tolist())
+
+
+def test_compact_select_slots_overflow():
+    """slots > k keeps the top-k EXACT when #positives exceeds k (but not
+    slots) — the production regime the batched fast paths now cover with
+    slots=4*k."""
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.rotated_nms import compact_select
+
+    rng = np.random.default_rng(11)
+    for n, k, slots, pos in [(8192, 512, 2048, 1500),
+                             (8192, 512, 2048, 2048),
+                             (4096, 128, 512, 130),
+                             (4096, 128, 512, 100)]:
+        gate = np.zeros(n, np.float32)
+        idx = rng.choice(n, pos, replace=False)
+        gate[idx] = rng.uniform(0.26, 0.99, pos)
+        sc, ic = compact_select(jnp.asarray(gate), k, slots=slots)
+        sc, ic = np.asarray(sc), np.asarray(ic)
+        order = np.argsort(-gate, kind="stable")[:k]
+        want = gate[order]
+        m = int((want > 0).sum())
+        np.testing.assert_allclose(sc[:m], want[:m], rtol=0, atol=0)
+        assert (sc[m:] == 0).all()
+        assert set(ic[:m].tolist()) == set(order[:m].tolist())

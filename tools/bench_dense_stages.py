@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Stage split of the REALISTIC-DENSITY e2e pipeline (bench.py regime).
+
+bench_pipe2.py decomposes decode+NMS on raw random weights, whose NMS
+graph is nearly empty; this tool applies bench.py's density tuning first
+(cls-bias spread + obj-bias bisection to BENCH_DENSITY dets/img) so every
+stage is timed on the suppression graph a trained checkpoint produces.
+
+Stages (each its own jit, same fused/device-staged variables):
+  fwd      packed stem forward -> flat Detect maps (checksum on maps)
+  sel      fwd + plane decode + exact candidate selection (stage="select")
+  full     fwd + decode + selection + suppression + det compaction
+           (identical to bench.py's timed region)
+
+sel-fwd = decode+selection; full-sel = pair IoU + greedy sweeps +
+compaction.  Env: BENCH_BATCH (16), BENCH_DENSITY (300), BENCH_MAXC (2048).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
+IMGSZ = int(os.environ.get("BENCH_IMGSZ", 1024))
+MAXC = int(os.environ.get("BENCH_MAXC", 2048))
+DENSITY = int(os.environ.get("BENCH_DENSITY", "300"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    from yolov5_obb_tpu.engine.evaluator import make_predict_fn, pack_images
+    from yolov5_obb_tpu.models.yolo import create_model
+    from yolov5_obb_tpu.ops.rotated_nms import non_max_suppression_from_maps
+    from yolov5_obb_tpu.utils.fuse import fuse_for_inference
+
+    packed = jax.default_backend() == "tpu"
+    model, variables, meta = create_model(
+        "yolov5m.yaml", nc=15, dtype=jnp.bfloat16, imgsz=IMGSZ,
+        packed_stem=packed)
+    det_name = f"m{len(model.specs) - 1}"
+    no, na, nc, nl = meta.no, meta.na, meta.nc, meta.nl
+
+    v = unfreeze(variables)
+    det = v["params"][det_name]
+    rngb = np.random.default_rng(7)
+    for li in range(nl):
+        b = np.asarray(det[f"conv{li}"]["bias"]).reshape(na, no).copy()
+        b[:, 5:5 + nc] += rngb.normal(0.0, 2.0, (na, nc))
+        det[f"conv{li}"]["bias"] = jnp.asarray(b.reshape(-1))
+    variables = jax.device_put(unfreeze(fuse_for_inference(v)))
+    jax.block_until_ready(variables)
+
+    def apply_obj_delta(vv, delta):
+        det = dict(vv["params"][det_name])
+        for li in range(nl):
+            c = dict(det[f"conv{li}"])
+            b = c["bias"].reshape(na, no)
+            c["bias"] = b.at[:, 4].add(delta).reshape(-1)
+            det[f"conv{li}"] = c
+        params = dict(vv["params"])
+        params[det_name] = det
+        return {**vv, "params": params}
+
+    predict = make_predict_fn(
+        model, meta, conf_thres=0.25, iou_thres=0.45, max_det=1500,
+        multi_label=False, max_candidates=MAXC)
+
+    rng = np.random.default_rng(0)
+    xs = [jax.device_put(pack_images(
+        rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)))
+        for _ in range(3)]
+    jax.block_until_ready(xs)
+
+    @jax.jit
+    def count_dets(vv, x, delta):
+        _, num = predict(apply_obj_delta(vv, delta), x)
+        return jnp.mean(num.astype(jnp.float32))
+
+    lo, hi = 0.0, 10.0
+    for _ in range(7):
+        mid = (lo + hi) / 2
+        if float(count_dets(variables, xs[0], mid)) < DENSITY:
+            lo = mid
+        else:
+            hi = mid
+    delta = (lo + hi) / 2
+    variables = jax.jit(apply_obj_delta)(variables, delta)
+    jax.block_until_ready(variables)
+    d = float(count_dets(variables, xs[1], 0.0))
+    print(f"obj delta {delta:.3f} -> {d:.0f} dets/img", flush=True)
+
+    kw = dict(conf_thres=0.25, iou_thres=0.45, max_candidates=MAXC,
+              max_det=1500, multi_label=False)
+
+    @jax.jit
+    def fwd(vv, x):
+        maps = model.apply(vv, x, train=False, flat=True)
+        return sum(jnp.sum(m.astype(jnp.float32) * 1e-6) for m in maps)
+
+    @jax.jit
+    def sel(vv, x):
+        maps = model.apply(vv, x, train=False, flat=True)
+        rb, sc = non_max_suppression_from_maps(maps, meta, stage="select",
+                                               **kw)
+        return jnp.sum(rb) + jnp.sum(sc)
+
+    @jax.jit
+    def full(vv, x):
+        dets, num = predict(vv, x)
+        return jnp.sum(dets) + jnp.sum(num)
+
+    report = {}
+
+    def timeit(label, fn, iters=10):
+        float(fn(variables, xs[0]))
+        float(fn(variables, xs[1]))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            float(fn(variables, xs[i % 3]))
+        ms = (time.perf_counter() - t0) / iters * 1000.0 / BATCH
+        print(f"{label:6s}: {ms:7.3f} ms/img", flush=True)
+        report[label] = round(ms, 3)
+
+    timeit("fwd", fwd)
+    timeit("sel", sel)
+    timeit("full", full)
+    report["decode_select"] = round(report["sel"] - report["fwd"], 3)
+    report["suppress_compact"] = round(report["full"] - report["sel"], 3)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

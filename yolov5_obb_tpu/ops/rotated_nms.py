@@ -313,14 +313,14 @@ def _topk_pairs_exact(cc_i, conf_thres: float, k: int, nc: int):
     return scores, bidx[idx2 // nc], idx2 % nc
 
 
-def compact_select(gate, k: int, sort: bool = True):
+def compact_select(gate, k: int, sort: bool = True, slots: int | None = None):
     """Exact top-k of a THRESHOLDED score vector without sorting it.
 
     ``jax.lax.top_k`` over the full anchor axis is a bitonic sort of
     N=64512 keys per image — the dominant selection cost since exact
     selection became the default.  When the number of positive entries is
-    at most ``k`` (the production regime at conf 0.25), the top-k SET is
-    just "every nonzero" — no N-wide sort needed:
+    at most ``slots`` (the production regime at conf 0.25), the top-k SET
+    is contained in the first ``slots`` nonzeros — no N-wide sort needed:
 
       1. slot assignment: ``pos = cumsum(gate > 0)`` (order-preserving);
       2. compaction as ONE MXU matmul via two-level slot decomposition
@@ -330,21 +330,30 @@ def compact_select(gate, k: int, sort: bool = True):
          one nonzero term, so the copy is exact) and ``L`` the {0,1}
          lane one-hot (bf16).  Replaces the (k, N) one-hot that a direct
          ``_compact_dets``-style compaction would materialise (528 MB);
-      3. (``sort=True``) one ``top_k`` over the k compacted scores —
-         a 4096-wide sort instead of 64512.
+      3. (``sort=True``) one ``top_k(..., k)`` over the ``slots``
+         compacted scores — a slots-wide sort instead of N-wide.
 
-    EXACT iff ``#nonzero <= k``; callers must guard the overflow case
+    ``slots`` (default ``k``) decouples the exactness bound from the
+    returned size: with ``slots=4*k`` the fast path stays exact at 4x
+    the candidate overflow, for one extra cheap slots-wide sort stage.
+    EXACT iff ``#nonzero <= slots``; callers must guard the overflow case
     with a batch-level ``lax.cond`` fallback to ``top_k`` (see
     ``non_max_suppression_from_maps``).  Returns ``(scores, idx)``
-    score-descending (or slot-ordered when ``sort=False``), zero-padded.
+    score-descending (or slot-ordered when ``sort=False``, where ``k``
+    must equal ``slots``), zero-padded.
     """
     n = gate.shape[0]
     k = min(k, n)
+    if slots is None:
+        slots = k
+    slots = min(max(slots, k), n)
+    if not sort and slots != k:
+        raise ValueError("sort=False requires slots == k (slot order)")
     kept = gate > 0
     # 1-based slot, 0 = dropped; f32 cumsum exact to 2^24 >> n
     pos = jnp.cumsum(kept.astype(jnp.float32)) * kept.astype(jnp.float32)
     pos = pos - 1.0  # 0-based, -1 = dropped (matches no hi row)
-    rows = -(-k // 128)
+    rows = -(-slots // 128)
     hi = jnp.floor(pos * (1.0 / 128.0))  # exact: /128 is a 2^-7 scale
     lo = pos - hi * 128.0
     av = jnp.where(kept, jnp.arange(n, dtype=jnp.float32) + 1.0, 0.0)
@@ -353,11 +362,11 @@ def compact_select(gate, k: int, sort: bool = True):
         av[None, :], 0.0)  # (rows, n) f32, carries index+1
     L = (lo[:, None] == jnp.arange(128, dtype=jnp.float32)[None, :]
          ).astype(jnp.bfloat16)  # (n, 128) {0,1}
-    slots = jax.lax.dot_general(
+    slotv = jax.lax.dot_general(
         A, L, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    idx = slots.reshape(rows * 128)[:k].astype(jnp.int32) - 1
+    idx = slotv.reshape(rows * 128)[:slots].astype(jnp.int32) - 1
     valid = idx >= 0
     sc = jnp.where(valid, gate[jnp.maximum(idx, 0)], 0.0)
     idx = jnp.where(valid, idx, 0)
@@ -370,14 +379,19 @@ def compact_select(gate, k: int, sort: bool = True):
 def _batched_exact_select(gate, k: int):
     """Batched exact selection over a thresholded (B, N) gate: the
     sort-free ``compact_select`` fast path when every image has at most
-    ``k`` positives (the production regime), with a whole-batch
-    ``lax.cond`` fallback to the N-wide ``top_k`` otherwise — the
-    predicate is batch-scalar, so only ONE branch executes (a per-image
-    cond under vmap would lower to a select that runs both)."""
+    ``4*k`` positives (``slots=4*k`` decouples the exactness bound from
+    the NMS candidate budget — at the realistic bench density images
+    carry 2-3x ``k`` positives, which used to kick the whole batch onto
+    the N-wide sort), with a whole-batch ``lax.cond`` fallback to the
+    N-wide ``top_k`` otherwise — the predicate is batch-scalar, so only
+    ONE branch executes (a per-image cond under vmap would lower to a
+    select that runs both)."""
+    slots = min(4 * k, gate.shape[1])
     counts = jnp.sum((gate > 0).astype(jnp.int32), axis=1)
     return jax.lax.cond(
-        jnp.all(counts <= k),
-        lambda g: tuple(jax.vmap(lambda gi: compact_select(gi, k))(g)),
+        jnp.all(counts <= slots),
+        lambda g: tuple(
+            jax.vmap(lambda gi: compact_select(gi, k, slots=slots))(g)),
         lambda g: tuple(jax.vmap(lambda gi: jax.lax.top_k(gi, k))(g)),
         gate)
 
@@ -385,19 +399,22 @@ def _batched_exact_select(gate, k: int):
 def _batched_exact_pairs(cls_conf, conf_thres: float, k: int, nc: int):
     """Batched exact multi-label (box, cls) pair selection: two-stage
     compaction (boxes unsorted, then pairs sorted) when every image has
-    at most ``k`` positive pairs — #positive boxes <= #positive pairs,
-    so one predicate covers both stages — else the sort-based
+    at most ``slots=4*k`` positive pairs — #positive boxes <= #positive
+    pairs, so one predicate covers both stages — else the sort-based
     ``_topk_pairs_exact``."""
+    n_boxes = cls_conf.shape[1]
+    slots = min(4 * k, n_boxes * nc)  # pairs-count exactness bound
+    bslots = min(slots, n_boxes)  # boxes <= pairs <= slots, and <= N
     counts = jnp.sum((cls_conf > conf_thres).astype(jnp.int32), axis=(1, 2))
 
     def fast(cc):
         def one(cc_i):
             best = jnp.max(cc_i, axis=-1)
             gate = jnp.where(best > conf_thres, best, 0.0)
-            bsc, bidx = compact_select(gate, k, sort=False)
+            bsc, bidx = compact_select(gate, bslots, sort=False)
             sub = cc_i[bidx] * (bsc > 0).astype(cc_i.dtype)[:, None]
             flat = jnp.where(sub > conf_thres, sub, 0.0).reshape(-1)
-            sc, fi = compact_select(flat, k)
+            sc, fi = compact_select(flat, k, slots=min(slots, flat.shape[0]))
             return sc, bidx[fi // nc], fi % nc
 
         return tuple(jax.vmap(one)(cc))
@@ -406,7 +423,50 @@ def _batched_exact_pairs(cls_conf, conf_thres: float, k: int, nc: int):
         return tuple(jax.vmap(
             lambda cc_i: _topk_pairs_exact(cc_i, conf_thres, k, nc))(cc))
 
-    return jax.lax.cond(jnp.all(counts <= k), fast, slow, cls_conf)
+    return jax.lax.cond(jnp.all(counts <= slots), fast, slow, cls_conf)
+
+
+def _suppress_compact_batch(rb, scores, cls_id, iou_thres: float,
+                            agnostic: bool, max_det: int):
+    """Batched suppression + det compaction with ADAPTIVE lattice size.
+
+    The suppression cost is quadratic in the candidate budget ``k`` (edge
+    lattice, dense suppression matrix, sweep matvecs), but the realistic
+    regime fills only a fraction of the budget: rows arrive score-sorted,
+    so when every image has at most ``k//2`` positive candidates the NMS
+    over the first ``k//2`` rows is EXACT — a batch-scalar ``lax.cond``
+    picks the half lattice (~4x less edge/matrix work) and falls back to
+    the full one otherwise.  Same trick as ``_batched_exact_select``; the
+    predicate must be batch-level (a per-image cond under vmap lowers to
+    a select that runs both branches).
+    """
+    B, k = scores.shape
+
+    def run_at(kk: int):
+        def f(args):
+            rb_, sc_, cid_ = args
+            rb_s, sc_s, cid_s = rb_[:, :kk], sc_[:, :kk], cid_[:, :kk]
+
+            def one(rb_i, sc_i, cid_i):
+                keep = nms_rotated(
+                    rb_i, sc_i, iou_thres,
+                    class_ids=None if agnostic else cid_i,
+                    presorted=True)
+                return _compact_dets(rb_i, sc_i, cid_i, keep, max_det)
+
+            return jax.vmap(one)(rb_s, sc_s, cid_s)
+
+        return f
+
+    half = k // 2
+    # tiering needs the half lattice to satisfy the fused kernel's layout
+    # contract on TPU (n % 128 == 0); tiny k isn't worth a second compile
+    if k < 512 or half % 128 != 0:
+        return run_at(k)((rb, scores, cls_id))
+    counts = jnp.sum((scores > 0).astype(jnp.int32), axis=1)
+    return jax.lax.cond(
+        jnp.all(counts <= half), run_at(half), run_at(k),
+        (rb, scores, cls_id))
 
 
 def _apply_class_filter(cls_conf, classes, nc: int):
@@ -505,20 +565,16 @@ def non_max_suppression_obb(
         cls_id = jnp.take_along_axis(
             jnp.argmax(cls_conf, axis=-1), box_idx, axis=1)
 
-    def one_image(scores, box_idx, cls_id, boxes_i, theta_logits_i):
+    def assemble(scores, box_idx, boxes_i, theta_logits_i):
         # theta argmax only on selected candidates ((k,180) not (N,180))
         theta_idx = jnp.argmax(theta_logits_i[box_idx], axis=-1)
         theta = (theta_idx.astype(jnp.float32) - 90.0) / 180.0 * PI
+        return jnp.concatenate(
+            [boxes_i[box_idx], theta[:, None]], axis=-1)  # (k, 5)
 
-        rb = jnp.concatenate([boxes_i[box_idx], theta[:, None]], axis=-1)  # (k, 5)
-        keep = nms_rotated(
-            rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            presorted=True,  # selection output is score-sorted
-        )
-        return _compact_dets(rb, scores, cls_id, keep, max_det)
-
-    return jax.vmap(one_image)(scores, box_idx, cls_id, boxes,
-                               prediction[..., 5 + nc :])
+    rb = jax.vmap(assemble)(scores, box_idx, boxes, prediction[..., 5 + nc:])
+    return _suppress_compact_batch(rb, scores, cls_id, iou_thres, agnostic,
+                                   max_det)
 
 
 def non_max_suppression_from_maps(
@@ -610,19 +666,12 @@ def non_max_suppression_from_maps(
     k = min(max_candidates, N * nc if multi_label else N)
     topk = jax.lax.approx_max_k if approx_topk else jax.lax.top_k
 
-    def finish(scores, box_idx, cls_id, x_i, y_i, w_i, h_i, th_i):
+    def assemble(scores, box_idx, x_i, y_i, w_i, h_i, th_i):
         theta = (th_i[box_idx].astype(jnp.float32) - 90.0) / 180.0 * PI
-        rb = jnp.stack(
+        return jnp.stack(
             [x_i[box_idx], y_i[box_idx], w_i[box_idx], h_i[box_idx], theta],
             axis=-1,
         )
-        if stage == "select":  # bench hook: stop before suppression
-            return rb, scores
-        keep = nms_rotated(
-            rb, scores, iou_thres, class_ids=None if agnostic else cls_id,
-            presorted=True,  # top_k output is sorted
-        )
-        return _compact_dets(rb, scores, cls_id, keep, max_det)
 
     if multi_label:
         cls_conf = jnp.concatenate(conf_l, 1)
@@ -641,11 +690,11 @@ def non_max_suppression_from_maps(
             scores, box_idx, cls_id = _batched_exact_pairs(
                 cls_conf, conf_thres, k, nc)
 
-        def fin_image(sc_i, bi_i, ci_i, x_i, y_i, w_i, h_i, th_i):
-            return finish(sc_i, bi_i, ci_i, x_i, y_i, w_i, h_i, th_i)
-
-        return jax.vmap(fin_image)(scores, box_idx, cls_id,
-                                   xs, ys, ws, hs, thidx)
+        rb = jax.vmap(assemble)(scores, box_idx, xs, ys, ws, hs, thidx)
+        if stage == "select":  # bench hook: stop before suppression
+            return rb, scores
+        return _suppress_compact_batch(rb, scores, cls_id, iou_thres,
+                                       agnostic, max_det)
 
     best = jnp.concatenate(best_l, 1)
     cid = jnp.concatenate(cid_l, 1)
@@ -656,11 +705,12 @@ def non_max_suppression_from_maps(
     else:
         scores, box_idx = _batched_exact_select(gate, k)
 
-    def fin_image(sc_i, bi_i, cid_i, x_i, y_i, w_i, h_i, th_i):
-        return finish(sc_i, bi_i, cid_i[bi_i], x_i, y_i, w_i, h_i, th_i)
-
-    return jax.vmap(fin_image)(scores, box_idx, cid,
-                               xs, ys, ws, hs, thidx)
+    cls_id = jnp.take_along_axis(cid, box_idx, axis=1)
+    rb = jax.vmap(assemble)(scores, box_idx, xs, ys, ws, hs, thidx)
+    if stage == "select":  # bench hook: stop before suppression
+        return rb, scores
+    return _suppress_compact_batch(rb, scores, cls_id, iou_thres, agnostic,
+                                   max_det)
 
 
 def nms_rotated_np(rboxes, scores, iou_thr, iou_fn):
