@@ -110,3 +110,41 @@ def test_tflite_export_and_inference(tmp_path):
     want = np.asarray(fwd(jnp.asarray(x)))
     assert got.shape == want.shape  # (1, n_anchors, 5+nc+180) decoded
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_detect_via_tflite_backend(tmp_path, mini_dota_session):
+    """export → tflite MultiBackend → detect CLI end-to-end (reference
+    DetectMultiBackend tflite leg, models/common.py:342-366)."""
+    import types
+
+    import detect as detect_cli
+    import export as export_cli
+
+    opt = types.SimpleNamespace(
+        weights="", cfg="yolov5n.yaml", imgsz=128, batch_size=1, nc=15,
+        include=["tflite"], out=str(tmp_path),
+    )
+    res = export_cli.run(opt)
+    path = res["tflite"]
+    assert Path(path).exists()
+
+    from yolov5_obb_tpu.models.backend import MultiBackend, is_artifact
+
+    assert is_artifact(path)
+    assert MultiBackend._sniff(Path(path)) == "tflite"
+
+    data_yaml = tmp_path / "d.yaml"
+    data_yaml.write_text(
+        f"path: {mini_dota_session}\ntrain: images\nval: images\nnc: 15\n"
+        f"names: [{', '.join(f'c{i}' for i in range(15))}]\n")
+    dopt = types.SimpleNamespace(
+        weights=str(path), cfg="yolov5n.yaml", data=str(data_yaml),
+        source=str(mini_dota_session / "images"), imgsz=128, conf_thres=0.01,
+        iou_thres=0.45, max_det=50, batch_size=1, save_txt=False,
+        save_conf=False, nosave=True, hide_conf=False, augment=False,
+        line_thickness=2, project=str(tmp_path / "runs"), name="tfl",
+        exist_ok=True,
+    )
+    save_dir = detect_cli.run(dopt)
+    assert save_dir.exists()

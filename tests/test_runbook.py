@@ -1,0 +1,93 @@
+"""Dry-run of docs/REPRODUCE_DOTA.md — every documented stage interface of
+the real-DOTA reproduction chain, executed through the actual CLIs on a
+tiny synthetic set (VERDICT r4 missing #1: the dataset itself is not in
+this container; this test keeps the runbook known-runnable so real DOTA
+becomes a pure execution step).
+
+Reference counterpart: docs/GetStart.md's documented flow — ImgSplit →
+train 1024/300ep → val --save-json → TestJson2VocClassTxt → ResultMerge →
+dota_evaluation_task1.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+def _run_cli(args, timeout=900):
+    """Run a documented command with the CPU backend (fresh process, the
+    same way a user would)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run([sys.executable, *args], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert p.returncode == 0, f"{args}\n--- stdout:\n{p.stdout[-3000:]}\n--- stderr:\n{p.stderr[-3000:]}"
+    return p.stdout
+
+
+@pytest.mark.slow
+def test_runbook_chain(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    from golden_e2e import generate_raw
+
+    # stage 0: a raw DOTA-format dataset (images/ + labelTxt/)
+    raw = generate_raw(tmp_path / "raw", n_images=3, size=512, grid=3)
+
+    # stage 1: split (documented flags: --src --dst --subsize --gap)
+    _run_cli(["tools/dota_split.py", "--src", str(raw),
+              "--dst", str(tmp_path / "split"), "--subsize", "256",
+              "--gap", "64", "--workers", "1"])
+    tiles = list((tmp_path / "split" / "images").glob("*.png"))
+    assert tiles and (tmp_path / "split" / "labelTxt").exists()
+
+    # stage 1b: label-free test-set split (--no-labels)
+    _run_cli(["tools/dota_split.py", "--src", str(raw),
+              "--dst", str(tmp_path / "split_test"), "--subsize", "256",
+              "--gap", "64", "--workers", "1", "--no-labels"])
+    assert list((tmp_path / "split_test" / "images").glob("*.png"))
+    assert not (tmp_path / "split_test" / "labelTxt").exists()
+
+    # dataset yaml exactly as documented
+    from yolov5_obb_tpu.data.dota import DOTA_V1_NAMES
+    data_yaml = tmp_path / "dota_run.yaml"
+    data_yaml.write_text(
+        f"path: {tmp_path / 'split'}\ntrain: images\nval: images\nnc: 15\n"
+        "names: [" + ", ".join(DOTA_V1_NAMES) + "]\n")
+
+    # stage 2: train CLI (tiny: 2 epochs @128 f32, raw interface check)
+    _run_cli(["train.py", "--cfg", "yolov5n.yaml", "--data", str(data_yaml),
+              "--imgsz", "128", "--batch-size", "4", "--nominal-batch", "4",
+              "--epochs", "2", "--max-labels", "16", "--workers", "0",
+              "--dtype", "float32", "--noval",
+              "--project", str(tmp_path / "train"), "--name", "dota_m",
+              "--exist-ok"])
+    last = tmp_path / "train" / "dota_m" / "last"
+    assert last.exists()
+
+    # stage 3: val CLI --save-json (the runbook validates `best`; `last`
+    # here because 2 epochs of EMA is ~initial weights)
+    _run_cli(["val.py", "--weights", str(last), "--cfg", "yolov5n.yaml",
+              "--data", str(data_yaml), "--imgsz", "128",
+              "--batch-size", "2", "--conf-thres", "0.01", "--save-json",
+              "--project", str(tmp_path / "val"), "--name", "dota_m",
+              "--exist-ok"])
+    pred_json = tmp_path / "val" / "dota_m" / "best_obb_predictions.json"
+    assert pred_json.exists()
+    json.loads(pred_json.read_text())  # valid json (may be empty: 2 epochs)
+
+    # stage 4: merge + exact OBB eval + mAOE (json_to_task1 → poly-NMS
+    # merge → evaluate_task1 chain inside tools/dota_merge_eval.py)
+    out = _run_cli(["tools/dota_merge_eval.py", "--json", str(pred_json),
+                    "--data", str(data_yaml), "--anno", str(raw / "labelTxt"),
+                    "--out", str(tmp_path / "merged"), "--workers", "1",
+                    "--maoe"])
+    assert "map:" in out, out
+    merged = tmp_path / "merged" / "task1_merged"
+    assert sorted(merged.glob("Task1_*.txt")), "merged Task1 files missing"

@@ -13,7 +13,12 @@ Stages (each its own jit, same fused/device-staged variables):
            (identical to bench.py's timed region)
 
 sel-fwd = decode+selection; full-sel = pair IoU + greedy sweeps +
-compaction.  Env: BENCH_BATCH (16), BENCH_DENSITY (300), BENCH_MAXC (2048).
+compaction.  Env: BENCH_BATCH (16), BENCH_DENSITY (300), BENCH_MAXC (2048),
+BENCH_CONF (0.25), BENCH_ML (0 — set 1 for multi_label).
+
+Val regime (VERDICT r4 weak #6 — the adaptive half-lattice and slots=4k
+fast paths disengage under dense low-conf batches):
+  BENCH_CONF=0.05 BENCH_ML=1 BENCH_MAXC=4096 python tools/bench_dense_stages.py
 """
 
 from __future__ import annotations
@@ -32,6 +37,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", 16))
 IMGSZ = int(os.environ.get("BENCH_IMGSZ", 1024))
 MAXC = int(os.environ.get("BENCH_MAXC", 2048))
 DENSITY = int(os.environ.get("BENCH_DENSITY", "300"))
+CONF = float(os.environ.get("BENCH_CONF", 0.25))
+ML = bool(int(os.environ.get("BENCH_ML", "0")))
 
 
 def main():
@@ -73,8 +80,8 @@ def main():
         return {**vv, "params": params}
 
     predict = make_predict_fn(
-        model, meta, conf_thres=0.25, iou_thres=0.45, max_det=1500,
-        multi_label=False, max_candidates=MAXC)
+        model, meta, conf_thres=CONF, iou_thres=0.45, max_det=1500,
+        multi_label=ML, max_candidates=MAXC)
 
     rng = np.random.default_rng(0)
     xs = [jax.device_put(pack_images(
@@ -100,8 +107,8 @@ def main():
     d = float(count_dets(variables, xs[1], 0.0))
     print(f"obj delta {delta:.3f} -> {d:.0f} dets/img", flush=True)
 
-    kw = dict(conf_thres=0.25, iou_thres=0.45, max_candidates=MAXC,
-              max_det=1500, multi_label=False)
+    kw = dict(conf_thres=CONF, iou_thres=0.45, max_candidates=MAXC,
+              max_det=1500, multi_label=ML)
 
     @jax.jit
     def fwd(vv, x):

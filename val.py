@@ -33,7 +33,9 @@ def parse_opt():
                    help="imgsz sweep for --task study")
     p.add_argument("--imgsz", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--conf-thres", type=float, default=0.01)
+    p.add_argument("--conf-thres", type=float, default=None,
+                   help="default 0.01 (0.25 for --task speed, matching "
+                        "reference val.py's speed regime)")
     p.add_argument("--iou-thres", type=float, default=0.4, help="NMS IoU threshold")
     p.add_argument("--max-det", type=int, default=1500)
     p.add_argument("--max-images", type=int, default=None)
@@ -68,6 +70,8 @@ def parse_opt():
 def run(opt):
     d = load_dataset_config(opt.data)
     hyp = load_hyp(opt.hyp)
+    if getattr(opt, "conf_thres", None) is None:
+        opt.conf_thres = None if opt.task == "speed" else 0.01
 
     if opt.task == "study":
         # speed-vs-accuracy sweep over image sizes (reference val.py:379-396).
@@ -152,13 +156,19 @@ def run(opt):
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     if opt.task == "speed":
+        # reference speed regime is conf 0.25 / iou 0.45; an explicit
+        # --conf-thres (e.g. 0.01 multi-label val conditions, where the
+        # NMS fast paths disengage — see tools/bench_dense_stages.py)
+        # overrides it so the val-regime NMS cost is measurable here too
+        conf = 0.25 if opt.conf_thres is None else opt.conf_thres
         res = evaluate(
             model, variables, meta, dataset, batch_size=opt.batch_size,
-            conf_thres=0.25, iou_thres=0.45, max_det=opt.max_det,
+            conf_thres=conf, iou_thres=0.45, max_det=opt.max_det,
             verbose=True, max_images=opt.max_images or 64,
             predict_fn=predict_fn,
         )
-        print(f"speed: {res['speed_ms_per_img']:.2f} ms/img (bs={opt.batch_size})")
+        print(f"speed: {res['speed_ms_per_img']:.2f} ms/img "
+              f"(bs={opt.batch_size}, conf={conf})")
         return res
 
     mesh = None

@@ -5,6 +5,9 @@ Backends:
 * ``orbax``      — native weights dir (+ model config) → jitted JAX fn
 * ``stablehlo``  — a serialized ``jax.export`` artifact (.stablehlo)
 * ``saved_model``— a TF SavedModel dir (from export.py / jax2tf)
+* ``tflite``     — a .tflite flatbuffer (reference DetectMultiBackend's
+  tflite leg, models/common.py:342-366; ours runs the decoded-output
+  artifact through tf.lite.Interpreter on host)
 
 All return a callable ``fn(image_f32 (B,H,W,3)) → (B, n_anchors, no)``
 decoded predictions, plus metadata.
@@ -28,6 +31,26 @@ class MultiBackend:
 
             exported = jexport.deserialize(p.read_bytes())
             self._fn = exported.call
+        elif self.kind == "tflite":
+            import numpy as np
+            import tensorflow as tf
+
+            interp = tf.lite.Interpreter(model_path=str(p))
+            interp.allocate_tensors()
+            inp = interp.get_input_details()[0]
+            out = interp.get_output_details()[0]
+
+            def call(x):
+                xh = np.asarray(x, np.float32)
+                if list(inp["shape"]) != list(xh.shape):
+                    interp.resize_tensor_input(inp["index"], xh.shape)
+                    interp.allocate_tensors()
+                    inp["shape"] = xh.shape
+                interp.set_tensor(inp["index"], xh)
+                interp.invoke()
+                return jnp.asarray(interp.get_tensor(out["index"]))
+
+            self._fn = call
         elif self.kind == "saved_model":
             import tensorflow as tf
 
@@ -67,6 +90,8 @@ class MultiBackend:
 
     @staticmethod
     def _sniff(p: Path) -> str:
+        if p.suffix == ".tflite":
+            return "tflite"
         if p.suffix == ".stablehlo" or (p.is_file() and p.suffix != ""):
             return "stablehlo"
         if (p / "saved_model.pb").exists():
@@ -86,7 +111,8 @@ class MultiBackend:
 def is_artifact(path) -> bool:
     """True if ``path`` is an exported artifact rather than orbax weights."""
     p = Path(path)
-    return p.suffix == ".stablehlo" or (p / "saved_model.pb").exists()
+    return (p.suffix in (".stablehlo", ".tflite")
+            or (p / "saved_model.pb").exists())
 
 
 def make_backend_predict_fn(weights, cfg, nc, imgsz, conf_thres, iou_thres,
