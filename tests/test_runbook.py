@@ -52,7 +52,9 @@ def test_runbook_chain(tmp_path):
               "--dst", str(tmp_path / "split_test"), "--subsize", "256",
               "--gap", "64", "--workers", "1", "--no-labels"])
     assert list((tmp_path / "split_test" / "images").glob("*.png"))
-    assert not (tmp_path / "split_test" / "labelTxt").exists()
+    # label-free split: tiles come with empty label files (no annotations)
+    assert all(not f.read_text().strip()
+               for f in (tmp_path / "split_test" / "labelTxt").glob("*.txt"))
 
     # dataset yaml exactly as documented
     from yolov5_obb_tpu.data.dota import DOTA_V1_NAMES
