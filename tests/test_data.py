@@ -222,3 +222,39 @@ def test_extra_augment_shapes_and_determinism():
     c = base.copy()
     extra_augment(c, np.random.default_rng(7), p=0.0)
     np.testing.assert_array_equal(c, base)  # p=0 → no-op
+
+
+def test_eval_pad_rect_canvas_roundtrip(mini_dota):
+    """--rect-pad 0.5 canvas (reference rect-val bucket for square tiles,
+    utils/datasets.py:470-492): content scale must equal the square mode's
+    and the returned ratio_pad must map canvas coords back to original coords."""
+    from yolov5_obb_tpu.ops.geometry import scale_polys
+
+    sq = DotaDataset(mini_dota / "images", DOTA_V1_NAMES, img_size=256,
+                     hyp=HYP, augment=False, max_labels=32)
+    rc = DotaDataset(mini_dota / "images", DOTA_V1_NAMES, img_size=256,
+                     hyp=HYP, augment=False, max_labels=32, eval_pad=0.5)
+    assert rc.eval_canvas == 288  # ceil(256/32 + 0.5) * 32
+
+    s_sq, s_rc = sq.get_eval_sample(0), rc.get_eval_sample(0)
+    assert s_rc["image"].shape == (288, 288, 3)
+    n = int(s_sq["target_mask"].sum())
+    assert int(s_rc["target_mask"].sum()) == n
+
+    # same content scale: rect targets = square targets + letterbox offset
+    rb_sq = s_sq["targets"][:n, 1:6]
+    rb_rc = s_rc["targets"][:n, 1:6]
+    np.testing.assert_allclose(rb_rc[:, 2:4], rb_sq[:, 2:4], atol=1e-5)
+
+    # ratio_pad maps canvas coords back to ORIGINAL image coords
+    rp = s_rc["ratio_pad"]
+    rp_arg = ((rp[0], rp[0]), (rp[1], rp[2]))
+    from yolov5_obb_tpu.ops.geometry import rbox2poly
+
+    polys_canvas = rbox2poly(rb_rc)
+    polys_orig = scale_polys((288, 288), polys_canvas, None, rp_arg)
+    # square path: recomputed-gain mapping (the original code path)
+    polys_orig_sq = scale_polys((256, 256), rbox2poly(rb_sq), (340, 460))
+    # sub-pixel agreement (int-rounded load resize makes the recomputed
+    # square gain differ from the exact ratio by ~1e-3 → ≤0.5 px here)
+    np.testing.assert_allclose(polys_orig, polys_orig_sq, atol=0.5)

@@ -50,6 +50,10 @@ def parse_opt():
                    help="skip load-time Conv+BN folding")
     p.add_argument("--no-plots", action="store_true",
                    help="skip confusion-matrix / PR-curve PNGs")
+    p.add_argument("--rect-pad", type=float, default=0.0,
+                   help="reference-style rect-val canvas pad (0.5 = the "
+                        "reference's ceil(imgsz/32+0.5)*32 square-tile "
+                        "bucket, e.g. 1056 for 1024); 0 = exact square")
     p.add_argument("--coco-eval", action="store_true",
                    help="COCO-style bbox AP from the saved json "
                         "(reference val.py:299-323 pycocotools branch)")
@@ -102,6 +106,7 @@ def run(opt):
     dataset = DotaDataset(
         split, d["names"], img_size=opt.imgsz, hyp=hyp, augment=False,
         max_labels=1000, single_cls=single_cls,
+        eval_pad=getattr(opt, "rect_pad", 0.0) or 0.0,
     )
 
     from yolov5_obb_tpu.models.backend import is_artifact, make_backend_predict_fn

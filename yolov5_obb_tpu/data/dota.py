@@ -116,6 +116,7 @@ class DotaDataset:
         verify: bool = False,
         single_cls: bool = False,
         cache_images: str | None = None,
+        eval_pad: float = 0.0,
     ):
         self.img_files = _scan_images(path)
         if verify:
@@ -124,6 +125,16 @@ class DotaDataset:
         self.names = list(names)
         self.name_to_id = {n: i for i, n in enumerate(self.names)}
         self.img_size = int(img_size)
+        # reference-style rect-val canvas (utils/datasets.py:470-492): DOTA
+        # val tiles are square, so aspect-sorted rect batching degenerates to
+        # ONE bucket — content at img_size scale on a ceil(img_size/stride
+        # + pad)*stride canvas (e.g. 1056 for 1024 @ pad 0.5). eval_pad=0.0
+        # keeps the exact-square letterbox (this framework's default).
+        self.eval_pad = float(eval_pad)
+        self.eval_canvas = (
+            int(np.ceil(self.img_size / stride + self.eval_pad)) * stride
+            if self.eval_pad > 0 else self.img_size
+        )
         self.hyp = dict(hyp or {})
         self.augment = augment
         self.max_labels = int(max_labels)
@@ -369,17 +380,25 @@ class DotaDataset:
     def get_eval_sample(self, index: int):
         """Letterboxed, un-augmented sample + rescale metadata."""
         img, polys, cls, (h0, w0) = self.load_image(index)
-        img, ratio, pad = A.letterbox(img, self.img_size, auto=False, scaleup=False)
+        lh, lw = img.shape[:2]
+        img, ratio, pad = A.letterbox(img, self.eval_canvas, auto=False,
+                                      scaleup=False)
         if len(polys):
             polys = polys.copy()
             polys[:, 0::2] = polys[:, 0::2] * ratio[0] + pad[0]
             polys[:, 1::2] = polys[:, 1::2] * ratio[1] + pad[1]
         targets, mask = self._encode(polys, cls, img.shape)
         img_rgb = np.ascontiguousarray(img[:, :, ::-1])
-        return {
+        out = {
             "image": img_rgb,
             "targets": targets,
             "target_mask": mask,
             "index": np.int32(index),
             "orig_hw": np.array([h0, w0], np.int32),
         }
+        if self.eval_pad > 0:
+            # canvas→orig mapping can't be recomputed from shapes alone on
+            # the padded canvas: gain = load ratio * letterbox ratio
+            out["ratio_pad"] = np.array(
+                [lh / h0 * ratio[1], pad[0], pad[1]], np.float64)
+        return out

@@ -226,6 +226,7 @@ def evaluate(
     all_dets = []
     n_img = len(dataset) if max_images is None else min(max_images, len(dataset))
     imgsz = dataset.img_size
+    canvas = int(getattr(dataset, "eval_canvas", imgsz))  # rect-val pad mode
 
     # one-deep software pipeline: dispatch batch N+1 (async under jit)
     # before materialising batch N, so host postprocess (poly conversion,
@@ -271,9 +272,13 @@ def evaluate(
             d = dets[bi, :n]  # (n, [cx cy l s theta conf cls])
             h0, w0 = (int(v) for v in s["orig_hw"])
 
+            rp = s.get("ratio_pad")
+            rp = ((rp[0], rp[0]), (rp[1], rp[2])) if rp is not None else None
+
             # predictions → native-res polys + hbb covers
             polys = rbox2poly(d[:, :5]) if n else np.zeros((0, 8))
-            polys = scale_polys((imgsz, imgsz), polys, (h0, w0)) if n else polys
+            polys = (scale_polys((canvas, canvas), polys, (h0, w0), rp)
+                     if n else polys)
             hbb = poly2hbb(polys) if n else np.zeros((0, 4))
             det_xyxy = xywh2xyxy(hbb)
             conf, cls = d[:, 5], d[:, 6]
@@ -283,7 +288,8 @@ def evaluate(
             gt = s["targets"][m]
             gt_polys = rbox2poly(gt[:, 1:6]) if len(gt) else np.zeros((0, 8))
             gt_polys = (
-                scale_polys((imgsz, imgsz), gt_polys, (h0, w0)) if len(gt) else gt_polys
+                scale_polys((canvas, canvas), gt_polys, (h0, w0), rp)
+                if len(gt) else gt_polys
             )
             gt_xyxy = xywh2xyxy(poly2hbb(gt_polys)) if len(gt) else np.zeros((0, 4))
             gt_cls = gt[:, 0]
