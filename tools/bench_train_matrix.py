@@ -66,14 +66,15 @@ def run_cell(fused: int, bn_half: int) -> dict:
 def main():
     done = load_done()
     cells = []
-    for fused in (0, 1):
-        for bn_half in (0, 1):
-            if (fused, bn_half) in done:
-                cells.append(done[(fused, bn_half)])
-                print(f"cached: FUSED={fused} BN_HALF={bn_half} "
-                      f"{done[(fused, bn_half)].get('value')}", flush=True)
-            else:
-                cells.append(run_cell(fused, bn_half))
+    # most-valuable first (slow-tunnel days may only complete a prefix):
+    # flagship default (1,1), fused A/B (0,1), then the BN_HALF=0 legs
+    for fused, bn_half in ((1, 1), (0, 1), (1, 0), (0, 0)):
+        if (fused, bn_half) in done:
+            cells.append(done[(fused, bn_half)])
+            print(f"cached: FUSED={fused} BN_HALF={bn_half} "
+                  f"{done[(fused, bn_half)].get('value')}", flush=True)
+        else:
+            cells.append(run_cell(fused, bn_half))
     Path("/tmp/train_matrix.json").write_text(json.dumps(cells, indent=1))
     print("\nFUSED x BN_HALF img/s matrix:")
     for c in cells:
