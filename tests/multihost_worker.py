@@ -38,11 +38,16 @@ def fixed_batch(seed: int = 0, B: int = 4, M: int = 8, imgsz: int = 64,
     return img, targets, mask
 
 
-def run_steps(mesh, local_slice, n_steps: int = 3):
+def run_steps(mesh, local_slice, n_steps: int = 3, barrier=None):
     """Build model/optimizer/step and run n_steps on the fixed batch.
 
     ``local_slice``: rows of the global batch this process feeds (None =
-    single-process, feed everything).
+    single-process, feed everything).  ``barrier(name)``: optional
+    coordination-service rendezvous called before the first Gloo-backed
+    collective and again after jit compilation — on a contended host the
+    per-process model-build/compile skew can exceed Gloo's fixed 30 s
+    context-init deadline, so the workers sync on the (long-timeout)
+    coordination service first.
     """
     from yolov5_obb_tpu.engine.loss import ComputeLoss
     from yolov5_obb_tpu.engine.optim import build_optimizer
@@ -72,8 +77,16 @@ def run_steps(mesh, local_slice, n_steps: int = 3):
     batch = _B()
     batch.image, batch.targets, batch.target_mask = img, targets, mask
 
+    if barrier is not None:
+        barrier("pre_first_collective")
     state = put_state(create_train_state(variables, tx), mesh)
     step = make_train_step(model, loss_fn, tx, mesh=mesh)
+    dev = put_batch(batch, mesh)
+    # compile WITHOUT executing (no collectives run during compilation),
+    # then rendezvous — so both processes enter the first step together
+    step.lower(state, *dev).compile()
+    if barrier is not None:
+        barrier("post_compile")
     losses = []
     for _ in range(n_steps):
         dev = put_batch(batch, mesh)
@@ -105,9 +118,16 @@ def main():
     assert local_batch_size(4) == 4 // nproc
     assert is_main() == (pid == 0)
 
+    def barrier(name, _timeout_ms=600_000):
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+        if client is not None:
+            client.wait_at_barrier(name, _timeout_ms)
+
     mesh = make_mesh(nproc)
     # strided slice, matching data/loader.py shard semantics
-    losses = run_steps(mesh, local_slice=np.s_[pid::nproc])
+    losses = run_steps(mesh, local_slice=np.s_[pid::nproc], barrier=barrier)
 
     # replicated-control-flow broadcast must agree everywhere
     assert broadcast_scalar(float(pid == 0) * 7.0) == 7.0
