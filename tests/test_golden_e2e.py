@@ -25,6 +25,34 @@ sys.path.insert(0, str(REPO / "tools"))
 
 @pytest.mark.slow
 @pytest.mark.nightly
+def test_golden_hard_tier_learns(tmp_path):
+    """r5 hard tier (VERDICT r4 weak #3: the easy golden saturated at mAP
+    1.000, losing regression signal): distractors near class hues, partial
+    occlusion stripes, overlapping same-class pairs, smaller objects.
+
+    Calibrated full recipe (10 imgs, 600ep@192, tools/golden_e2e.py
+    --hard): merged OBB mAP 0.7075, mAOE 2.58°, worst-class 8.55° — every
+    class unsaturated (APs 0.54-0.88).  This quick variant (4 imgs,
+    300ep@128) measured mAP 0.0675 / hbb 0.0966 / mAOE 41.1° — floors set
+    ~35% under the calibration."""
+    from golden_e2e import run_flow
+
+    res = run_flow(
+        tmp_path / "hard", n_images=4, raw_size=640, grid=5, hard=True,
+        imgsz=128, epochs=300, batch=8, subsize=384, gap=128,
+        hyp_overrides={"lr0": 0.025, "theta": 1.0},
+    )
+    assert res["golden_obb_map"] >= 0.04, res
+    assert res["hbb_map50"] >= 0.06, res
+    # mean AND worst-class angle error must stay bounded (the saturated
+    # tier's 2.16° mean hid an 18.6° worst class; quick-tier calibration:
+    # mean 41.1°, worst 51.1°)
+    assert 0.0 < res["maoe_deg"] <= 55.0, res
+    assert max(res["maoe_classes"].values()) <= 65.0, res
+
+
+@pytest.mark.slow
+@pytest.mark.nightly
 def test_golden_flow_learns(tmp_path):
     from golden_e2e import run_flow
 

@@ -259,3 +259,37 @@ def test_compact_select_slots_overflow():
         np.testing.assert_allclose(sc[:m], want[:m], rtol=0, atol=0)
         assert (sc[m:] == 0).all()
         assert set(ic[:m].tolist()) == set(order[:m].tolist())
+
+
+def test_suppress_tier_ladder_exact():
+    """The adaptive k→k/2→k/4 suppression lattice (r5 quarter tier for the
+    low-conf val regime) must be EXACT at every density: per-image keep
+    sets equal the greedy oracle whether the batch lands on the quarter,
+    half, or full lattice."""
+    import jax.numpy as jnp
+
+    from yolov5_obb_tpu.ops.rotated_nms import _suppress_compact_batch
+
+    k, max_det = 1024, 600
+    rng = np.random.default_rng(5)
+    # densities straddling the tier bounds: ≤256 (quarter), ≤512 (half),
+    # >512 (full lattice)
+    for density in (200, 400, 700):
+        rb = np.zeros((1, k, 5), np.float32)
+        sc = np.zeros((1, k), np.float32)
+        cid = np.zeros((1, k), np.float32)
+        boxes = _clustered_rboxes(rng, density, n_clusters=10, spread=600.0)
+        scores = np.sort(rng.uniform(0.1, 1.0, density))[::-1].astype(
+            np.float32)  # presorted, zeros padding after
+        rb[0, :density] = boxes
+        sc[0, :density] = scores
+        dets, num = _suppress_compact_batch(
+            jnp.asarray(rb), jnp.asarray(sc), jnp.asarray(cid),
+            iou_thres=0.4, agnostic=True, max_det=max_det)
+        dets, num = np.asarray(dets), np.asarray(num)
+
+        want_keep = nms_rotated_np(boxes, scores, 0.4, _oracle_iou)
+        want_boxes = boxes[want_keep.astype(bool)]
+        assert num[0] == want_boxes.shape[0], (density, num[0])
+        np.testing.assert_allclose(dets[0, :num[0], :4],
+                                   want_boxes[:, :4], atol=1e-3)

@@ -39,6 +39,12 @@ MAXC = int(os.environ.get("BENCH_MAXC", 2048))
 DENSITY = int(os.environ.get("BENCH_DENSITY", "300"))
 CONF = float(os.environ.get("BENCH_CONF", 0.25))
 ML = bool(int(os.environ.get("BENCH_ML", "0")))
+# density tuning happens at this conf (default 0.25: the dets-vs-delta
+# curve is smooth there; at conf<=0.05 on random weights it is a cliff —
+# whole levels cross the threshold together — and bisection lands empty).
+# The timed stages then run at BENCH_CONF with the tuned weights, like a
+# trained checkpoint evaluated at val conf.
+TUNE_CONF = float(os.environ.get("BENCH_TUNE_CONF", 0.25))
 
 
 def main():
@@ -89,9 +95,13 @@ def main():
         for _ in range(3)]
     jax.block_until_ready(xs)
 
+    tune_predict = predict if TUNE_CONF == CONF else make_predict_fn(
+        model, meta, conf_thres=TUNE_CONF, iou_thres=0.45, max_det=1500,
+        multi_label=False, max_candidates=2048)
+
     @jax.jit
     def count_dets(vv, x, delta):
-        _, num = predict(apply_obj_delta(vv, delta), x)
+        _, num = tune_predict(apply_obj_delta(vv, delta), x)
         return jnp.mean(num.astype(jnp.float32))
 
     lo, hi = 0.0, 10.0
@@ -105,7 +115,8 @@ def main():
     variables = jax.jit(apply_obj_delta)(variables, delta)
     jax.block_until_ready(variables)
     d = float(count_dets(variables, xs[1], 0.0))
-    print(f"obj delta {delta:.3f} -> {d:.0f} dets/img", flush=True)
+    print(f"obj delta {delta:.3f} -> {d:.0f} dets/img @conf{TUNE_CONF}",
+          flush=True)
 
     kw = dict(conf_thres=CONF, iou_thres=0.45, max_candidates=MAXC,
               max_det=1500, multi_label=ML)
@@ -127,6 +138,11 @@ def main():
         dets, num = predict(vv, x)
         return jnp.sum(dets) + jnp.sum(num)
 
+    @jax.jit
+    def stage_count(vv, x):
+        _, num = predict(vv, x)
+        return jnp.mean(num.astype(jnp.float32))
+
     report = {}
 
     def timeit(label, fn, iters=10):
@@ -139,11 +155,16 @@ def main():
         print(f"{label:6s}: {ms:7.3f} ms/img", flush=True)
         report[label] = round(ms, 3)
 
+    sd = float(stage_count(variables, xs[1]))
+    print(f"stage regime conf={CONF} ml={ML} maxc={MAXC}: {sd:.0f} dets/img",
+          flush=True)
+    report_dets = round(sd, 1)
     timeit("fwd", fwd)
     timeit("sel", sel)
     timeit("full", full)
     report["decode_select"] = round(report["sel"] - report["fwd"], 3)
     report["suppress_compact"] = round(report["full"] - report["sel"], 3)
+    report["dets_per_img"] = report_dets
     print(json.dumps(report))
 
 

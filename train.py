@@ -95,8 +95,13 @@ def parse_opt(args=None, known: bool = False):
     p.add_argument("--fused-train", dest="fused_train", default=None,
                    action="store_true",
                    help="stat-carrying fused Pallas train passes for the "
-                        "high-resolution prefix (stem→down1→C3→down2); "
-                        "(default: auto — on for TPU backends)")
+                        "high-resolution prefix (stem→down1→C3→down2). "
+                        "Default OFF: measured e2e-neutral-to-slightly-"
+                        "slower than stock XLA on v5e (94.73 vs 95.47 "
+                        "img/s, BENCH r5 FUSED×BN_HALF matrix) — the "
+                        "Pallas forwards win isolated but the XLA-routed "
+                        "backwards give the win back; kept for A/B and "
+                        "future backward work")
     p.add_argument("--no-fused-train", dest="fused_train",
                    action="store_false")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
@@ -219,10 +224,14 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
         bn_half = jax.default_backend() == "tpu"
     if bn_half:
         os.environ["YOLO_BN_HALF"] = "1"
-    # fused train region (TPU): layers 0-3 as stat-carrying Pallas passes
+    # fused train region (TPU): layers 0-3 as stat-carrying Pallas passes.
+    # Opt-in only: the r5 hardware matrix measured it e2e-slower than
+    # stock XLA (94.73 vs 95.47 img/s FUSED=1/0 at BN_HALF=1) — the XLA
+    # backward re-reads cost more than the forward fusion saves
     fused_train = getattr(opt, "fused_train", None)
     if fused_train is None:
-        fused_train = packed and jax.default_backend() == "tpu"
+        fused_train = False
+    fused_train = fused_train and packed
     model, variables, meta = create_model(
         opt.cfg, nc=nc, dtype=dtype, rng=jax.random.PRNGKey(opt.seed),
         imgsz=opt.imgsz, packed_stem=packed, fused_train=fused_train,

@@ -458,15 +458,32 @@ def _suppress_compact_batch(rb, scores, cls_id, iou_thres: float,
 
         return f
 
-    half = k // 2
-    # tiering needs the half lattice to satisfy the fused kernel's layout
-    # contract on TPU (n % 128 == 0); tiny k isn't worth a second compile
-    if k < 512 or half % 128 != 0:
+    # tier ladder k → k/2 → k/4 (suppression cost is ~quadratic in the
+    # lattice size, so each tier is ~4x cheaper): rows arrive score-sorted,
+    # so NMS over the first ``t`` rows is EXACT whenever every image has
+    # at most ``t`` positive candidates.  Each tier must satisfy the fused
+    # kernel's layout contract on TPU (n % 128 == 0); tiny k isn't worth
+    # the extra compiles.  The low-conf val regime (conf 0.01-0.05,
+    # multi-label, 4096-candidate budget) is where the deeper tiers pay:
+    # most val images fill a fraction of the budget (see
+    # tools/bench_dense_stages.py val-regime row in PARITY.md).
+    tiers = [t for t in (k // 2, k // 4)
+             if t >= 256 and t % 128 == 0 and k >= 512]
+    if not tiers:
         return run_at(k)((rb, scores, cls_id))
     counts = jnp.sum((scores > 0).astype(jnp.int32), axis=1)
-    return jax.lax.cond(
-        jnp.all(counts <= half), run_at(half), run_at(k),
-        (rb, scores, cls_id))
+    mx = jnp.max(counts)
+
+    def pick(remaining):
+        t = remaining[0]
+        if len(remaining) == 1:
+            return lambda args: jax.lax.cond(mx <= t, run_at(t), run_at(k),
+                                             args)
+        return lambda args: jax.lax.cond(
+            mx <= remaining[-1], run_at(remaining[-1]), pick(remaining[:-1]),
+            args)
+
+    return pick(tiers)((rb, scores, cls_id))
 
 
 def _apply_class_filter(cls_conf, classes, nc: int):
