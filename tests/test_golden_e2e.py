@@ -32,23 +32,22 @@ def test_golden_hard_tier_learns(tmp_path):
 
     Calibrated full recipe (10 imgs, 600ep@192, tools/golden_e2e.py
     --hard): merged OBB mAP 0.7075, mAOE 2.58°, worst-class 8.55° — every
-    class unsaturated (APs 0.54-0.88).  This quick variant (4 imgs,
-    300ep@128) measured mAP 0.0675 / hbb 0.0966 / mAOE 41.1° — floors set
-    ~35% under the calibration."""
+    class unsaturated (APs 0.54-0.88).  This nightly variant (6 imgs,
+    400ep@160, ~22 min on one core) measured mAP 0.1456 / hbb 0.1675 /
+    mAOE 31.3° (worst class 47.9°) — floors set ~35% under calibration."""
     from golden_e2e import run_flow
 
     res = run_flow(
-        tmp_path / "hard", n_images=4, raw_size=640, grid=5, hard=True,
-        imgsz=128, epochs=300, batch=8, subsize=384, gap=128,
+        tmp_path / "hard", n_images=6, raw_size=640, grid=5, hard=True,
+        imgsz=160, epochs=400, batch=8, subsize=384, gap=128,
         hyp_overrides={"lr0": 0.025, "theta": 1.0},
     )
-    assert res["golden_obb_map"] >= 0.04, res
-    assert res["hbb_map50"] >= 0.06, res
+    assert res["golden_obb_map"] >= 0.09, res
+    assert res["hbb_map50"] >= 0.10, res
     # mean AND worst-class angle error must stay bounded (the saturated
-    # tier's 2.16° mean hid an 18.6° worst class; quick-tier calibration:
-    # mean 41.1°, worst 51.1°)
-    assert 0.0 < res["maoe_deg"] <= 55.0, res
-    assert max(res["maoe_classes"].values()) <= 65.0, res
+    # tier's 2.16° mean hid an 18.6° worst class)
+    assert 0.0 < res["maoe_deg"] <= 45.0, res
+    assert max(res["maoe_classes"].values()) <= 60.0, res
 
 
 @pytest.mark.slow
