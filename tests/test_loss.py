@@ -198,3 +198,100 @@ def test_loss_variant_hyps_finite():
         assert np.isfinite(float(total)) and float(total) > 0, extra
         assert np.isfinite(np.asarray(items)).all(), extra
         assert float(total) != float(plain), extra  # variant actually applied
+
+
+def test_dense_loss_matches_gather_no_collisions():
+    """The r5 scatter-free-backward (dense) loss must equal the gather
+    formulation — values AND map gradients — whenever no two targets claim
+    the same (cell, anchor) candidate (the only documented divergence)."""
+    from yolov5_obb_tpu.ops.geometry import csl_gaussian_labels
+
+    nc, M, B, imgsz = 5, 8, 2, 128
+    meta = ModelMeta(
+        nc=nc, nl=3, na=3, strides=(8.0, 16.0, 32.0),
+        anchors_px=np.array(
+            [[[10, 13], [16, 30], [33, 23]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[116, 90], [156, 198], [373, 326]]], np.float32),
+    )
+    rng = np.random.default_rng(3)
+    maps = [
+        jnp.asarray(rng.normal(0, 0.05,
+                               (B, imgsz // s, imgsz // s, 3, nc + 5 + 180)),
+                    jnp.float32)
+        for s in (8, 16, 32)
+    ]
+    # targets far apart (≥64 px) → no shared (cell, anchor) even at stride 32
+    targets = np.zeros((B, M, 6 + 180), np.float32)
+    t_mask = np.zeros((B, M), bool)
+    # off-boundary coords: exact-integer grid positions make BOTH side
+    # offsets fire and floor to duplicate (cell, anchor) rows (true in the
+    # reference as well) — that is the documented divergence case, not the
+    # equality case under test
+    spots = [(26.3, 25.8), (90.1, 26.7), (25.7, 89.2), (91.4, 90.6)]
+    for b in range(B):
+        for i, (cx, cy) in enumerate(spots[: 3 + b]):
+            th = rng.uniform(-np.pi / 2, np.pi / 2)
+            targets[b, i, 0] = rng.integers(0, nc)
+            targets[b, i, 1:6] = [cx, cy, rng.uniform(18, 40),
+                                  rng.uniform(9, 16), th]
+            targets[b, i, 6:] = csl_gaussian_labels(
+                np.array([th * 180 / np.pi + 90]), radius=2.0)[0]
+            t_mask[b, i] = True
+    targets, t_mask = jnp.asarray(targets), jnp.asarray(t_mask)
+
+    hyp = {"box": 0.05, "obj": 1.0, "cls": 0.5, "theta": 0.5,
+           "csl_radius": 2.0}
+    gather_fn = ComputeLoss(meta, hyp, dense=False)
+    dense_fn = ComputeLoss(meta, hyp, dense=True)
+
+    tg, ig = gather_fn(maps, targets, t_mask)
+    td, idn = dense_fn(maps, targets, t_mask)
+    np.testing.assert_allclose(np.asarray(ig), np.asarray(idn),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(tg), float(td), rtol=2e-5)
+
+    gg = jax.grad(lambda ms: gather_fn(ms, targets, t_mask)[0])(maps)
+    gd = jax.grad(lambda ms: dense_fn(ms, targets, t_mask)[0])(maps)
+    for a, b_ in zip(gg, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_dense_loss_collision_divergence_documented():
+    """When two targets claim the same (cell, anchor) candidate the dense
+    path keeps ONE (last scatter) while the gather path keeps both rows —
+    this test pins the divergence so it stays a *documented* trade, and
+    asserts the dense loss remains finite/sane there."""
+    nc, M, B, imgsz = 3, 8, 1, 64
+    meta = ModelMeta(
+        nc=nc, nl=3, na=3, strides=(8.0, 16.0, 32.0),
+        anchors_px=np.array(
+            [[[10, 13], [16, 30], [33, 23]],
+             [[30, 61], [62, 45], [59, 119]],
+             [[116, 90], [156, 198], [373, 326]]], np.float32),
+    )
+    rng = np.random.default_rng(0)
+    maps = [
+        jnp.asarray(rng.normal(0, 0.05,
+                               (B, imgsz // s, imgsz // s, 3, nc + 5 + 180)),
+                    jnp.float32)
+        for s in (8, 16, 32)
+    ]
+    targets = np.zeros((B, M, 6 + 180), np.float32)
+    t_mask = np.zeros((B, M), bool)
+    # two targets in the SAME stride-8 cell with similar size → same
+    # (cell, anchor) candidates
+    for i, (cx, cy) in enumerate([(26.2, 25.9), (26.9, 26.4)]):
+        targets[0, i, 0] = i
+        targets[0, i, 1:6] = [cx, cy, 20, 10, 0.2 + 0.1 * i]
+        targets[0, i, 6 + 100 + i] = 1.0
+        t_mask[0, i] = True
+    targets, t_mask = jnp.asarray(targets), jnp.asarray(t_mask)
+
+    tg, _ = ComputeLoss(meta, dense=False)(maps, targets, t_mask)
+    td, items = ComputeLoss(meta, dense=True)(maps, targets, t_mask)
+    assert np.isfinite(float(td)) and float(td) > 0
+    assert np.isfinite(np.asarray(items)).all()
+    # the divergence is real (collapsed candidate rows change the means)
+    assert abs(float(tg) - float(td)) > 1e-6

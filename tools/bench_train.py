@@ -21,7 +21,9 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import os
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 IMGSZ = 1024
-MAX_LABELS = 64
+# train.py defaults to --max-labels 500 on real DOTA; 64 keeps the legacy
+# bench regime (BENCH_MAXL to override)
+MAX_LABELS = int(os.environ.get("BENCH_MAXL", 64))
 
 
 def main():

@@ -104,6 +104,18 @@ def parse_opt(args=None, known: bool = False):
                         "future backward work")
     p.add_argument("--no-fused-train", dest="fused_train",
                    action="store_false")
+    p.add_argument("--dense-loss", action="store_true",
+                   help="scatter-free-backward loss formulation (r5): "
+                        "target data scattered to the grid under "
+                        "stop_gradient, box/cls/theta computed densely — "
+                        "kills the backward scatter-add, whose cost scales "
+                        "with --max-labels. Measured v5e b16@1024: "
+                        "91.46 vs 85.57 img/s (+6.9%) at the DOTA default "
+                        "--max-labels 500; 93.6 vs 95.5 (-2%) at 64. "
+                        "Semantics equal to the reference gather path "
+                        "except when two targets claim the same "
+                        "(cell,anchor) candidate (one wins instead of "
+                        "both contributing); opt-in for that reason")
     p.add_argument("--val-images", type=int, default=None, help="cap val set size during training")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--patience", type=int, default=100, help="early-stop patience (epochs)")
@@ -267,7 +279,9 @@ def run(opt, hyp_override: dict | None = None, callbacks=None):
             restore_model_meta(meta, _json.loads(mp.read_text()))
 
     hyp_scaled = scale_hyp_gains(hyp, meta.nl, meta.nc, opt.imgsz)
-    loss_fn = ComputeLoss(meta, hyp_scaled)
+    loss_fn = ComputeLoss(meta, hyp_scaled,
+                          dense=True if getattr(opt, "dense_loss", False)
+                          else None)  # None → YOLO_DENSE_LOSS env / off
     tx, opt_info = build_optimizer(
         variables["params"], hyp, epochs=opt.epochs,
         steps_per_epoch=steps_per_epoch, batch_size=opt.batch_size,

@@ -41,6 +41,10 @@ DEFAULT_HYP = {
     "qfl_gamma": 0.0,  # >0: quality-focal modulation (overrides fl_gamma)
     "bce_blur": 0.0,   # >0: BCEBlur missing-label alleviation on obj/cls
     "label_smoothing": 0.0,
+    # CSL gaussian window sigma — used by the dense loss path to
+    # regenerate theta targets analytically on the grid (must match the
+    # data pipeline's csl_radius; both default to the reference's 2.0)
+    "csl_radius": 2.0,
 }
 
 
@@ -167,8 +171,10 @@ def _masked_mean(x, mask, eps=1e-9):
     return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("nc", "strides", "hyp_static"))
-def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_static):
+@functools.partial(jax.jit,
+                   static_argnames=("nc", "strides", "hyp_static", "dense"))
+def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides,
+                       hyp_static, dense=False):
     hyp = dict(hyp_static)
     cp, cn = smooth_bce(hyp.get("label_smoothing", 0.0))
     gamma = hyp.get("fl_gamma", 0.0)
@@ -228,6 +234,89 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
             jnp.arange(na, dtype=jnp.int32)[None, None, :, None], mask.shape
         )
         flat_idx = (cell * na + a_idx).reshape(B, K)
+
+        if dense:
+            # --- scatter-free-backward formulation (r5) ------------------
+            # The gather path's backward scatter-adds (B,K,no) cotangents
+            # into the dense (B,n,no) map gradient at ~1 elem/cycle. Here
+            # the scatter moves to the NON-differentiated side: all target
+            # data (stop-grad) is scattered to the grid once in the
+            # forward, and box/cls/theta are computed densely at every
+            # cell under a mask — the backward is pure fused elementwise
+            # over map reads that the obj term already pays for.
+            # Semantics: identical to the gather path unless two targets
+            # claim the same (cell, anchor) candidate — then ONE target
+            # wins here (last scatter) where the reference keeps both loss
+            # rows (and takes the max iou for tobj). Collisions need two
+            # objects within ±0.5 cell at the same anchor; rare in
+            # practice, which is why this is an opt-in speed mode
+            # (ComputeLoss(dense=True) / train.py --dense-loss) rather
+            # than the parity default.
+            n_rows = ny * nx * na
+            tthdeg = targets[..., 5] * (180.0 / jnp.pi) + 90.0  # (B, M)
+            tcat = jnp.concatenate([
+                jnp.broadcast_to(asn["txy"][:, :, None, :, :],
+                                 (B, M, na, 5, 2)).reshape(B, K, 2),
+                jnp.broadcast_to(asn["twh"][:, :, None, None, :],
+                                 (B, M, na, 5, 2)).reshape(B, K, 2),
+                jnp.broadcast_to(t_cls[:, :, None, None].astype(jnp.float32),
+                                 (B, M, na, 5)).reshape(B, K, 1),
+                jnp.broadcast_to(tthdeg[:, :, None, None],
+                                 (B, M, na, 5)).reshape(B, K, 1),
+                jnp.ones((B, K, 1), jnp.float32),
+            ], axis=-1)                                   # (B, K, 7)
+            mflat = mask.reshape(B, K)
+            bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, K))
+            idx_eff = jnp.where(mflat, flat_idx, n_rows)  # OOB → dropped
+            dense_t = jnp.zeros((B, n_rows, 7), jnp.float32)
+            dense_t = dense_t.at[bidx, idx_eff].set(tcat, mode="drop")
+            d_mask = dense_t[..., 6] > 0                  # (B, n)
+            dm = d_mask.astype(jnp.float32)
+
+            # box: CIoU densely, anchors repeat per cell (row % na == a)
+            anch_rows = jnp.tile(anchors_grid[li], (ny * nx, 1))  # (n, 2)
+            pxy = jax.nn.sigmoid(pf[..., 0:2]) * 2.0 - 0.5
+            pwh = (jax.nn.sigmoid(pf[..., 2:4]) * 2.0) ** 2 * anch_rows
+            pbox = jnp.concatenate([pxy, pwh], axis=-1)
+            iou = ciou_xywh(pbox, dense_t[..., 0:4])      # (B, n)
+            lbox = lbox + _masked_mean(1.0 - iou, d_mask)
+
+            # objectness target directly on the grid — no scatter at all
+            tobj = jnp.clip(jax.lax.stop_gradient(iou), 0.0) * dm
+            obj_logit = pf[..., 4]
+            obj_l = bce_with_logits(obj_logit, tobj, hyp["obj_pw"])
+            obj_l = modulate(obj_l, obj_logit, tobj)
+            if blur > 0:
+                obj_l = obj_l * blur_factor(obj_logit, tobj)
+            lobj = lobj + obj_l.mean() * balance[li]
+
+            if nc > 1:
+                cls_logit = pf[..., 5:5 + nc]
+                t_onehot = jnp.where(
+                    jax.nn.one_hot(dense_t[..., 4].astype(jnp.int32), nc,
+                                   dtype=jnp.float32) > 0, cp, cn)
+                cls_l = bce_with_logits(cls_logit, t_onehot, hyp["cls_pw"])
+                cls_l = modulate(cls_l, cls_logit, t_onehot)
+                if blur > 0:
+                    cls_l = cls_l * blur_factor(cls_logit, t_onehot)
+                lcls = lcls + _masked_mean(
+                    cls_l, jnp.broadcast_to(d_mask[..., None], cls_l.shape))
+
+            # theta CSL regenerated analytically (ops/geometry.
+            # csl_gaussian_labels semantics, incl. trunc peak snapping);
+            # fuses into the BCE — the (B, n, 180) target never hits HBM
+            th_logit = pf[..., 5 + nc:]
+            idx = jnp.trunc(90.0 - dense_t[..., 5])        # (B, n)
+            jbins = jnp.arange(THETA_BINS, dtype=jnp.float32)
+            dist = (jbins + idx[..., None]) % THETA_BINS - 90.0
+            r2 = 2.0 * float(hyp["csl_radius"]) ** 2
+            tth = jnp.exp(-(dist ** 2) / r2)
+            th_l = bce_with_logits(th_logit, tth, hyp["theta_pw"])
+            th_l = modulate(th_l, th_logit, tth)
+            ltheta = ltheta + _masked_mean(
+                th_l, jnp.broadcast_to(d_mask[..., None], th_l.shape))
+            continue
+
         # row-slice gather instead of take_along_axis: broadcasting the index
         # over the channel dim asks for a per-element (B*K*no offsets) gather;
         # the vmapped take keeps whole-(no,) row slices. Measured on v5e it is
@@ -308,9 +397,15 @@ def _compute_loss_impl(maps, targets, t_mask, anchors_grid, nc, strides, hyp_sta
 
 
 class ComputeLoss:
-    """Callable loss bound to model meta + hyp (reference utils/loss.py:91)."""
+    """Callable loss bound to model meta + hyp (reference utils/loss.py:91).
 
-    def __init__(self, meta, hyp: dict | None = None):
+    ``dense=True`` (or env ``YOLO_DENSE_LOSS=1``) selects the
+    scatter-free-backward formulation — identical semantics except when
+    two targets claim the same (cell, anchor) candidate (see
+    _compute_loss_impl); opt-in speed mode, reference parity is the
+    default gather path."""
+
+    def __init__(self, meta, hyp: dict | None = None, dense: bool | None = None):
         h = dict(DEFAULT_HYP)
         if hyp:
             h.update({k: v for k, v in hyp.items() if k in DEFAULT_HYP})
@@ -318,6 +413,11 @@ class ComputeLoss:
         self.nc = meta.nc
         self.strides = tuple(meta.strides)
         self.anchors_grid = jnp.asarray(meta.anchors_grid, jnp.float32)
+        if dense is None:
+            import os
+
+            dense = os.environ.get("YOLO_DENSE_LOSS", "0") == "1"
+        self.dense = bool(dense)
 
     def __call__(self, maps: Sequence[Any], targets, t_mask):
         """maps: list of (B,ny,nx,na,no) raw logits; targets (B,M,186);
@@ -330,4 +430,5 @@ class ComputeLoss:
             self.nc,
             self.strides,
             self.hyp_static,
+            dense=self.dense,
         )
