@@ -24,8 +24,11 @@ MAXC = int(os.environ.get("BENCH_MAXC", 2048))
 # BENCH_WEIGHTS=<orbax dir> (+ optional BENCH_CFG) benches a real trained
 # checkpoint instead of the density-tuned random weights: the detection
 # density is then whatever the training produced — fully honest NMS graph
-# (tools/golden_e2e.py produces such checkpoints).
+# (tools/golden_e2e.py produces such checkpoints). Pair it with
+# BENCH_IMAGES=<dir> so the model sees its own data distribution — a
+# trained checkpoint detects nothing on the default random-noise batches.
 WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
+IMAGES = os.environ.get("BENCH_IMAGES", "")
 CFG = os.environ.get("BENCH_CFG", "yolov5m.yaml")
 # Target detections/img at conf 0.25. Fresh random weights detect nothing
 # (focal bias priors put obj conf at ~1e-3), which leaves the NMS
@@ -107,14 +110,27 @@ def main():
     # host — async dispatch on this runtime can otherwise report bogus
     # times — so the measurement also includes one tunnel round trip
     # (~2 ms/img here, ~0 on a production host).
+    def make_batch(i):
+        if IMAGES:
+            import cv2
+
+            from yolov5_obb_tpu.data.augment import letterbox
+
+            paths = sorted(
+                p for p in __import__("pathlib").Path(IMAGES).iterdir()
+                if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"))
+            assert paths, f"no images in {IMAGES}"
+            imgs = []
+            for k in range(BATCH):
+                im = cv2.imread(str(paths[(i * BATCH + k) % len(paths)]))
+                im, _, _ = letterbox(im, IMGSZ, auto=False, scaleup=True)
+                imgs.append(np.ascontiguousarray(im[:, :, ::-1]))
+            return np.stack(imgs)
+        return rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
+
     xs = [
-        jax.device_put(
-            pack_images(rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3),
-                                     dtype=np.uint8))
-            if packed else
-            rng.integers(0, 255, (BATCH, IMGSZ, IMGSZ, 3), dtype=np.uint8)
-        )
-        for _ in range(3)
+        jax.device_put(pack_images(make_batch(i)) if packed else make_batch(i))
+        for i in range(3)
     ]
     jax.block_until_ready(xs)
 
