@@ -154,3 +154,36 @@ def test_selective_remat_matches_stock(rng):
         l1.append(float(m1["loss"]))
         l2.append(float(m2["loss"]))
     np.testing.assert_allclose(l1, l2, rtol=1e-4)
+
+
+def test_mesh_step_dense_loss_matches_single_device(rng):
+    """--dense-loss under the 8-device data mesh: the scatter-free loss
+    must shard cleanly under GSPMD (per-image scatters partition on the
+    batch axis) and reproduce the mesh(1) trajectory."""
+    nc = 2
+    model, variables, meta = create_model("yolov5n.yaml", nc=nc, imgsz=64)
+    loss_fn = ComputeLoss(meta, dense=True)
+    hyp = {"lr0": 0.01, "warmup_epochs": 0.0}
+    tx, _ = build_optimizer(
+        variables["params"], hyp, epochs=5, steps_per_epoch=5, batch_size=64
+    )
+    img, targets, mask = _fixed_batch(rng, B=8)
+
+    mesh8 = make_mesh(8, platform="cpu")
+    mesh1 = make_mesh(1, platform="cpu")
+    v1 = jax.tree.map(jnp.copy, variables)
+    v2 = jax.tree.map(jnp.copy, variables)
+    s1 = put_state(create_train_state(v1, tx), mesh1)
+    step1 = make_train_step(model, loss_fn, tx, mesh=mesh1)
+    s2 = put_state(create_train_state(v2, tx), mesh8)
+    step2 = make_train_step(model, loss_fn, tx, mesh=mesh8)
+    batch = _B(img, targets, mask)
+
+    l1, l2 = [], []
+    for _ in range(3):
+        s1, m1 = step1(s1, *put_batch(batch, mesh1))
+        s2, m2 = step2(s2, *put_batch(batch, mesh8))
+        l1.append(float(m1["loss"]))
+        l2.append(float(m2["loss"]))
+    np.testing.assert_allclose(l1, l2, rtol=2e-3)
+    assert np.isfinite(l1).all()
