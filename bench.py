@@ -110,19 +110,29 @@ def main():
     # host — async dispatch on this runtime can otherwise report bogus
     # times — so the measurement also includes one tunnel round trip
     # (~2 ms/img here, ~0 on a production host).
+    if IMAGES:
+        from yolov5_obb_tpu.data.dota import _scan_images
+
+        image_paths = _scan_images(IMAGES)
+        # the timing loop cycles 3 buffers which MUST be pairwise distinct
+        # (CLAUDE.md methodology: identical device buffers let this
+        # runtime's dispatch path coalesce work and report bogus times)
+        assert len(image_paths) >= 2, (
+            f"BENCH_IMAGES needs >=2 images for distinct buffers, "
+            f"got {len(image_paths)} in {IMAGES}")
+
     def make_batch(i):
         if IMAGES:
             import cv2
 
             from yolov5_obb_tpu.data.augment import letterbox
 
-            paths = sorted(
-                p for p in __import__("pathlib").Path(IMAGES).iterdir()
-                if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp"))
-            assert paths, f"no images in {IMAGES}"
             imgs = []
             for k in range(BATCH):
-                im = cv2.imread(str(paths[(i * BATCH + k) % len(paths)]))
+                # stride-7 start offset per buffer: distinct batches even
+                # when the directory holds fewer images than BATCH
+                p = image_paths[(i * 7 + k) % len(image_paths)]
+                im = cv2.imread(str(p))
                 im, _, _ = letterbox(im, IMGSZ, auto=False, scaleup=True)
                 imgs.append(np.ascontiguousarray(im[:, :, ::-1]))
             return np.stack(imgs)

@@ -82,8 +82,16 @@ def run_steps(mesh, local_slice, n_steps: int = 3, barrier=None):
     state = put_state(create_train_state(variables, tx), mesh)
     step = make_train_step(model, loss_fn, tx, mesh=mesh)
     dev = put_batch(batch, mesh)
-    # compile WITHOUT executing (no collectives run during compilation),
-    # then rendezvous — so both processes enter the first step together
+    # Pay the minutes-long XLA compile BEFORE the rendezvous (no
+    # collectives run during compilation). lower().compile() does not
+    # seed step's jit dispatch cache, but it DOES populate the
+    # persistent compilation cache (JAX_COMPILATION_CACHE_DIR, set by
+    # the test), so the post-barrier first `step` call re-traces and
+    # loads the cached executable in milliseconds — both processes then
+    # reach the first collective well inside Gloo's 30 s window. (The
+    # AOT executable itself is deliberately NOT invoked in the loop:
+    # executables pin exact input avals, and the donated TrainState's
+    # avals are not stable across steps.)
     step.lower(state, *dev).compile()
     if barrier is not None:
         barrier("post_compile")

@@ -148,3 +148,34 @@ def test_detect_via_tflite_backend(tmp_path, mini_dota_session):
     )
     save_dir = detect_cli.run(dopt)
     assert save_dir.exists()
+
+
+@pytest.mark.slow
+def test_val_speed_task_with_artifact(tmp_path, mini_dota_session):
+    """`val.py --task speed` with an exported artifact: the conf sentinel
+    (None until resolved) must be resolved BEFORE the artifact predict fn
+    is built (r5 regression: it reached the jitted NMS as None)."""
+    import types
+
+    import export as export_cli
+    import val as val_cli
+
+    opt = types.SimpleNamespace(
+        weights="", cfg="yolov5n.yaml", imgsz=128, batch_size=2, nc=15,
+        include=["stablehlo"], out=str(tmp_path),
+    )
+    fwd, variables, meta = export_cli.build_forward(opt)
+    path = export_cli.export_stablehlo(fwd, opt, tmp_path)
+
+    data_yaml = tmp_path / "d.yaml"
+    data_yaml.write_text(
+        f"path: {mini_dota_session}\ntrain: images\nval: images\nnc: 15\n"
+        f"names: [{', '.join(f'c{i}' for i in range(15))}]\n")
+    vopt = types.SimpleNamespace(
+        weights=str(path), cfg="yolov5n.yaml", data=str(data_yaml),
+        task="speed", imgsz=128, batch_size=2, conf_thres=None,
+        iou_thres=0.4, max_det=100, max_images=4, save_json=False,
+        save_task1=False, save_txt=False, save_conf=False, hyp=None,
+        project=str(tmp_path / "runs"), name="spd", exist_ok=True)
+    res = val_cli.run(vopt)
+    assert res["speed_ms_per_img"] > 0

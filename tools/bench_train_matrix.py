@@ -28,10 +28,10 @@ def load_done() -> dict:
         for line in CELLS_LOG.read_text().splitlines():
             try:
                 c = json.loads(line)
-                if "value" in c:
-                    done[(c["fused"], c["bn_half"])] = c
             except json.JSONDecodeError:
-                pass
+                continue
+            if isinstance(c, dict) and "value" in c:
+                done[(c["fused"], c["bn_half"])] = c
     return done
 
 
@@ -48,10 +48,12 @@ def run_cell(fused: int, bn_half: int) -> dict:
         out["rc"] = p.returncode
         for line in reversed(p.stdout.strip().splitlines()):
             try:
-                out.update(json.loads(line))
-                break
+                parsed = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if isinstance(parsed, dict):  # bare scalars/strings also parse
+                out.update(parsed)
+                break
         if "value" not in out:
             out["stderr_tail"] = p.stderr[-2000:]
     except subprocess.TimeoutExpired:

@@ -74,8 +74,12 @@ def parse_opt():
 def run(opt):
     d = load_dataset_config(opt.data)
     hyp = load_hyp(opt.hyp)
+    # resolve the conf sentinel BEFORE any branch builds an NMS (the
+    # ensemble/artifact predict fns are constructed ahead of the speed
+    # branch): default 0.01, or the reference's 0.25 speed regime; an
+    # explicit --conf-thres always wins
     if getattr(opt, "conf_thres", None) is None:
-        opt.conf_thres = None if opt.task == "speed" else 0.01
+        opt.conf_thres = 0.25 if opt.task == "speed" else 0.01
 
     if opt.task == "study":
         # speed-vs-accuracy sweep over image sizes (reference val.py:379-396).
@@ -161,19 +165,19 @@ def run(opt):
 
     save_dir = increment_path(Path(opt.project) / opt.name, exist_ok=opt.exist_ok)
     if opt.task == "speed":
-        # reference speed regime is conf 0.25 / iou 0.45; an explicit
-        # --conf-thres (e.g. 0.01 multi-label val conditions, where the
-        # NMS fast paths disengage — see tools/bench_dense_stages.py)
-        # overrides it so the val-regime NMS cost is measurable here too
-        conf = 0.25 if opt.conf_thres is None else opt.conf_thres
+        # defaults to the reference speed regime (conf 0.25, resolved
+        # above); explicit --conf-thres/--iou-thres override so the
+        # val-regime NMS cost (conf 0.01, where the fast paths disengage —
+        # see tools/bench_dense_stages.py) is measurable here too
         res = evaluate(
             model, variables, meta, dataset, batch_size=opt.batch_size,
-            conf_thres=conf, iou_thres=0.45, max_det=opt.max_det,
-            verbose=True, max_images=opt.max_images or 64,
-            predict_fn=predict_fn,
+            conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+            max_det=opt.max_det, verbose=True,
+            max_images=opt.max_images or 64, predict_fn=predict_fn,
         )
         print(f"speed: {res['speed_ms_per_img']:.2f} ms/img "
-              f"(bs={opt.batch_size}, conf={conf})")
+              f"(bs={opt.batch_size}, conf={opt.conf_thres}, "
+              f"iou={opt.iou_thres})")
         return res
 
     mesh = None

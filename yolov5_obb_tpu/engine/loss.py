@@ -42,9 +42,12 @@ DEFAULT_HYP = {
     "bce_blur": 0.0,   # >0: BCEBlur missing-label alleviation on obj/cls
     "label_smoothing": 0.0,
     # CSL gaussian window sigma — used by the dense loss path to
-    # regenerate theta targets analytically on the grid (must match the
-    # data pipeline's csl_radius; both default to the reference's 2.0)
-    "csl_radius": 2.0,
+    # regenerate theta targets analytically on the grid. MUST match the
+    # data pipeline's radius: data/dota.py falls back to 6.0 (the
+    # reference gaussian_label_cpu default) when a hyp omits the key, so
+    # this fallback is 6.0 too; every shipped hyp yaml sets 2.0 and both
+    # sides then read that same value.
+    "csl_radius": 6.0,
 }
 
 
