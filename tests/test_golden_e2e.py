@@ -34,7 +34,9 @@ def test_golden_hard_tier_learns(tmp_path):
     --hard): merged OBB mAP 0.7075, mAOE 2.58°, worst-class 8.55° — every
     class unsaturated (APs 0.54-0.88).  This nightly variant (6 imgs,
     400ep@160, ~22 min on one core) measured mAP 0.1456 / hbb 0.1675 /
-    mAOE 31.3° (worst class 47.9°) — floors set ~35% under calibration."""
+    mAOE 31.3° (worst class 47.9°); a second data seed measured 0.1687 /
+    0.2333 / 24.4° (cross-seed spread ~0.02 mAP) — floors sit ~35% under
+    the lower seed."""
     from golden_e2e import run_flow
 
     res = run_flow(

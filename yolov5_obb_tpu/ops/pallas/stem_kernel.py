@@ -660,6 +660,11 @@ def fused_stem_l1(x_packed, w108, b0, w1taps, b1, h: int, w: int,
         out_shape=jax.ShapeDtypeStruct((B, h // 4, W2 // 2, c3),
                                        jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM(((R + 1) * W2, c2), jnp.float32)],
+        # without an explicit window the compiler's default 16M scoped-vmem
+        # budget OOMs at B=32 (the b16 shape fits by luck); same 100M window
+        # as down/c3 kernels
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x6, x6, x6, wpad, b2, jnp.asarray(w1taps, jnp.bfloat16), b1r)
     return out
